@@ -1,0 +1,22 @@
+"""pbrt_tpu — a TPU-native physically based renderer (JAX/XLA/Pallas).
+
+A from-scratch re-design of the capabilities of piwell/CS348B-pbrt
+(a pbrt-v2 fork with spectral dispersion, volumetric photon mapping,
+a rainbow scattering volume, an AAC BVH builder and a realistic lens
+camera) for TPU hardware:
+
+- recursive CPU integrators  ->  wavefront `lax.scan` ray/photon batches
+- pointer BVH / kd-trees     ->  flattened node arrays + vectorized and
+                                 Pallas traversal kernels
+- `KdTree<Photon>` kNN       ->  sorted spatial-hash grid + top-k
+- pthread task pool          ->  `shard_map` over a `jax.sharding.Mesh`
+- photon-merge mutex         ->  `all_gather` of per-device photon arrays
+- film atomics               ->  deterministic segment-sum splatting
+
+The .pbrt scene language, plugin names, parameter names and defaults of
+the reference are preserved (see SURVEY.md section 2).
+"""
+
+__version__ = "0.1.0"
+
+from pbrt_tpu.core import spectrum  # noqa: F401

@@ -1,0 +1,435 @@
+"""Wavefront ray-scene intersection over struct-of-arrays geometry.
+
+Replaces the reference's virtual Shape::Intersect dispatch and
+accelerator traversal (reference core/primitive.h, accelerators/bvh.cpp
+:585-687) with a two-phase vectorized design:
+
+  phase 1 (t-pass): a `lax.scan` over fixed-size primitive blocks
+  computes candidate hit distances for a whole ray batch at once
+  ([R, BLOCK] masked math on the VPU) keeping a running (t, prim) min.
+  With a BVH (pbrt_tpu.accel.bvh) the scan runs over per-ray node
+  shortlists instead of all blocks.
+
+  phase 2 (reconstruct): gather the winning primitive's data per ray and
+  recompute the differential geometry (p, ng, ns, uv, dpdu) once.
+
+Triangles use Moller-Trumbore over precomputed (v0, e1, e2); quadrics
+(sphere/cylinder/disk/cone/paraboloid/hyperboloid) are solved
+analytically in object space with pbrt's partial ranges (zmin/zmax/
+phimax, disk innerradius), both roots checked (reference
+shapes/sphere.cpp:219 et al.).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pbrt_tpu.core.geometry import Ray, cross, dot, normalize
+from pbrt_tpu.core.transform import xform_point_affine, xform_vector, xform_normal
+from pbrt_tpu.shapes.registry import (
+    QUAD_CONE,
+    QUAD_CYLINDER,
+    QUAD_DISK,
+    QUAD_HYPERBOLOID,
+    QUAD_PARABOLOID,
+    QUAD_SPHERE,
+)
+
+BIG = 1e30
+
+
+class SceneGeom(NamedTuple):
+    """Device geometry tensors. Triangles occupy global prim ids [0, T);
+    quadric q has global id T + q."""
+
+    tri_v0: jnp.ndarray      # [T, 3]
+    tri_e1: jnp.ndarray      # [T, 3]
+    tri_e2: jnp.ndarray      # [T, 3]
+    tri_n: jnp.ndarray       # [T, 3, 3] shading normals per vertex
+    tri_has_n: jnp.ndarray   # [T] bool
+    tri_uv: jnp.ndarray      # [T, 3, 2]
+    tri_mat: jnp.ndarray     # [T] int32
+    tri_light: jnp.ndarray   # [T] int32 (-1 = not emissive)
+    quad_type: jnp.ndarray   # [Q] int32
+    quad_o2w: jnp.ndarray    # [Q, 4, 4]
+    quad_w2o: jnp.ndarray    # [Q, 4, 4]
+    quad_params: jnp.ndarray  # [Q, 8]
+    quad_mat: jnp.ndarray    # [Q]
+    quad_light: jnp.ndarray  # [Q]
+    quad_flip: jnp.ndarray   # [Q] bool: flip normals (reverseorientation ^ swap)
+    world_lo: jnp.ndarray    # [3]
+    world_hi: jnp.ndarray    # [3]
+
+    @property
+    def n_tris(self):
+        return self.tri_v0.shape[0]
+
+    @property
+    def n_quads(self):
+        return self.quad_type.shape[0]
+
+
+class Hit(NamedTuple):
+    valid: jnp.ndarray   # [R] bool
+    t: jnp.ndarray       # [R]
+    p: jnp.ndarray       # [R, 3]
+    ng: jnp.ndarray      # [R, 3] geometric normal (winding-oriented)
+    ns: jnp.ndarray      # [R, 3] shading normal
+    uv: jnp.ndarray      # [R, 2]
+    dpdu: jnp.ndarray    # [R, 3]
+    mat: jnp.ndarray     # [R] int32 (-1 none)
+    light: jnp.ndarray   # [R] int32 (-1 none)
+    prim: jnp.ndarray    # [R] int32 global prim id (-1 none)
+
+
+# ---------------------------------------------------------------------------
+# Triangle candidate t
+
+def _tri_t(v0, e1, e2, o, d, tmin, tmax):
+    """Moller-Trumbore candidate distances. v0/e1/e2: [..., 3] broadcast
+    against rays o/d [..., 3]. Returns (t, valid)."""
+    pvec = cross(d, e2)
+    det = dot(e1, pvec)
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    tvec = o - v0
+    b1 = dot(tvec, pvec) * inv_det
+    qvec = cross(tvec, e1)
+    b2 = dot(d, qvec) * inv_det
+    t = dot(e2, qvec) * inv_det
+    valid = (
+        (jnp.abs(det) > 1e-12)
+        & (b1 >= 0.0) & (b2 >= 0.0) & (b1 + b2 <= 1.0)
+        & (t > tmin) & (t < tmax)
+    )
+    return t, valid
+
+
+# ---------------------------------------------------------------------------
+# Quadric candidate t (object space, both roots, range-clipped)
+
+def _quad_candidates(qtype, params, o, d, tmin, tmax):
+    """All-types quadric intersection. Shapes broadcast: qtype [...],
+    params [..., 8], o/d [..., 3] (already object space). Returns (t, valid)."""
+    r = params[..., 0]
+    zmin = params[..., 1]
+    zmax = params[..., 2]
+    phimax = params[..., 3]
+    p4 = params[..., 4]
+    p5 = params[..., 5]
+
+    ox, oy, oz = o[..., 0], o[..., 1], o[..., 2]
+    dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+
+    is_sph = qtype == QUAD_SPHERE
+    is_cyl = qtype == QUAD_CYLINDER
+    is_disk = qtype == QUAD_DISK
+    is_cone = qtype == QUAD_CONE
+    is_par = qtype == QUAD_PARABOLOID
+    is_hyp = qtype == QUAD_HYPERBOLOID
+
+    # quadratic coefficients per type
+    k_cone = (r / jnp.maximum(p4, 1e-12)) ** 2  # p4 = height
+    k_par = p4 / jnp.maximum(r * r, 1e-12)      # p4 = zmax
+    a_h, c_h = p4, p5
+
+    A = (
+        jnp.where(is_sph, dx * dx + dy * dy + dz * dz, 0.0)
+        + jnp.where(is_cyl, dx * dx + dy * dy, 0.0)
+        + jnp.where(is_cone, dx * dx + dy * dy - k_cone * dz * dz, 0.0)
+        + jnp.where(is_par, k_par * (dx * dx + dy * dy), 0.0)
+        + jnp.where(is_hyp, a_h * (dx * dx + dy * dy) - c_h * dz * dz, 0.0)
+    )
+    B = (
+        jnp.where(is_sph, 2.0 * (ox * dx + oy * dy + oz * dz), 0.0)
+        + jnp.where(is_cyl, 2.0 * (ox * dx + oy * dy), 0.0)
+        + jnp.where(is_cone, 2.0 * (ox * dx + oy * dy - k_cone * dz * (oz - p4)), 0.0)
+        + jnp.where(is_par, 2.0 * k_par * (ox * dx + oy * dy) - dz, 0.0)
+        + jnp.where(is_hyp, 2.0 * (a_h * (ox * dx + oy * dy) - c_h * oz * dz), 0.0)
+    )
+    C = (
+        jnp.where(is_sph, ox * ox + oy * oy + oz * oz - r * r, 0.0)
+        + jnp.where(is_cyl, ox * ox + oy * oy - r * r, 0.0)
+        + jnp.where(is_cone, ox * ox + oy * oy - k_cone * (oz - p4) * (oz - p4), 0.0)
+        + jnp.where(is_par, k_par * (ox * ox + oy * oy) - oz, 0.0)
+        + jnp.where(is_hyp, a_h * (ox * ox + oy * oy) - c_h * oz * oz - 1.0, 0.0)
+    )
+
+    disc = B * B - 4.0 * A * C
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # numerically-stable quadratic roots (sign(0) must be +1, not 0: a ray
+    # from the quadric's center has B == 0)
+    sgn_b = jnp.where(B >= 0.0, 1.0, -1.0)
+    qq = -0.5 * (B + sgn_b * sq)
+    safe_a = jnp.where(jnp.abs(A) > 1e-12, A, 1.0)
+    safe_q = jnp.where(jnp.abs(qq) > 1e-12, qq, 1.0)
+    t0r = qq / safe_a
+    t1r = C / safe_q
+    lin_ok = jnp.abs(A) <= 1e-12
+    # linear case (paraboloid with dz dominant etc.): Bt + C = 0
+    t_lin = -C / jnp.where(jnp.abs(B) > 1e-12, B, 1.0)
+    t0 = jnp.where(lin_ok, t_lin, jnp.minimum(t0r, t1r))
+    t1 = jnp.where(lin_ok, t_lin, jnp.maximum(t0r, t1r))
+    quad_ok = jnp.where(lin_ok, jnp.abs(B) > 1e-12, disc >= 0.0)
+
+    # disk: plane intersection
+    t_disk = (zmin - oz) / jnp.where(jnp.abs(dz) > 1e-12, dz, 1.0)  # zmin slot=height
+    disk_ok = jnp.abs(dz) > 1e-12
+
+    def clip(t):
+        ph = o + t[..., None] * d
+        x, yv, z = ph[..., 0], ph[..., 1], ph[..., 2]
+        phi = jnp.arctan2(yv, x)
+        phi = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
+        in_phi = phi <= phimax + 1e-7
+        in_z = (z >= zmin) & (z <= zmax)
+        dist2 = x * x + yv * yv
+        in_disk = (dist2 <= r * r) & (dist2 >= p4 * p4)  # p4 = innerradius
+        ok = jnp.where(
+            is_disk,
+            in_disk & in_phi,
+            in_z & in_phi,
+        )
+        # sphere uses z range too (partial spheres)
+        return ok & (t > tmin) & (t < tmax)
+
+    tq = jnp.where(is_disk, t_disk, t0)
+    ok0 = jnp.where(is_disk, disk_ok, quad_ok) & clip(tq)
+    tq2 = jnp.where(is_disk, jnp.full_like(t1, BIG), t1)
+    ok1 = jnp.where(is_disk, jnp.zeros_like(quad_ok), quad_ok) & clip(tq2)
+    t = jnp.where(ok0, tq, jnp.where(ok1, tq2, BIG))
+    valid = ok0 | ok1
+    return t, valid
+
+
+def _quad_detail(qtype, params, flip, o2w, w2o, ray_o, ray_d, t):
+    """Differential geometry at object-space hit of a single quadric per
+    ray. All inputs gathered per ray."""
+    o = xform_point_affine(w2o, ray_o)
+    d = xform_vector(w2o, ray_d)
+    ph = o + t[..., None] * d
+    x, yv, z = ph[..., 0], ph[..., 1], ph[..., 2]
+    r = params[..., 0]
+    zmin, zmax = params[..., 1], params[..., 2]
+    phimax = params[..., 3]
+    p4, p5 = params[..., 4], params[..., 5]
+    phi = jnp.arctan2(yv, x)
+    phi = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
+
+    is_sph = qtype == QUAD_SPHERE
+    is_cyl = qtype == QUAD_CYLINDER
+    is_disk = qtype == QUAD_DISK
+    is_cone = qtype == QUAD_CONE
+    is_par = qtype == QUAD_PARABOLOID
+    is_hyp = qtype == QUAD_HYPERBOLOID
+
+    u = phi / jnp.maximum(phimax, 1e-9)
+    # v per type
+    theta = jnp.arccos(jnp.clip(z / jnp.maximum(r, 1e-12), -1.0, 1.0))
+    thmin = jnp.arccos(jnp.clip(zmax / jnp.maximum(r, 1e-12), -1.0, 1.0))
+    thmax = jnp.arccos(jnp.clip(zmin / jnp.maximum(r, 1e-12), -1.0, 1.0))
+    v_sph = (theta - thmin) / jnp.maximum(thmax - thmin, 1e-9)
+    v_lin = (z - zmin) / jnp.maximum(zmax - zmin, 1e-9)
+    dist = jnp.sqrt(jnp.maximum(x * x + yv * yv, 1e-20))
+    v_disk = 1.0 - (dist - p4) / jnp.maximum(r - p4, 1e-9)
+    v = jnp.where(is_sph, v_sph, jnp.where(is_disk, v_disk, v_lin))
+
+    # dpdu common: rotation around z
+    dpdu = jnp.stack([-phimax * yv, phimax * x, jnp.zeros_like(x)], axis=-1)
+    # normals via implicit gradient per type
+    n_sph = ph
+    n_cyl = jnp.stack([x, yv, jnp.zeros_like(z)], axis=-1)
+    n_disk = jnp.stack([jnp.zeros_like(x), jnp.zeros_like(x), jnp.ones_like(x)], axis=-1)
+    k_cone = (r / jnp.maximum(p4, 1e-12)) ** 2
+    n_cone = jnp.stack([x, yv, -k_cone * (z - p4)], axis=-1)
+    k_par = p4 / jnp.maximum(r * r, 1e-12)
+    n_par = jnp.stack([2.0 * k_par * x, 2.0 * k_par * yv, -jnp.ones_like(z)], axis=-1)
+    n_hyp = jnp.stack([2.0 * p4 * x, 2.0 * p4 * yv, -2.0 * p5 * z], axis=-1)
+    n_obj = jnp.where(
+        is_sph[..., None], n_sph,
+        jnp.where(is_cyl[..., None], n_cyl,
+                  jnp.where(is_disk[..., None], n_disk,
+                            jnp.where(is_cone[..., None], n_cone,
+                                      jnp.where(is_par[..., None], n_par, n_hyp)))),
+    )
+    p_world = xform_point_affine(o2w, ph)
+    n_world = normalize(xform_normal(w2o, n_obj))
+    n_world = jnp.where(flip[..., None], -n_world, n_world)
+    dpdu_w = xform_vector(o2w, dpdu)
+    uv = jnp.stack([u, v], axis=-1)
+    return p_world, n_world, uv, dpdu_w
+
+
+# ---------------------------------------------------------------------------
+# Brute-force t-pass (block scan). BVH variant lives in accel/bvh.py.
+
+def _round_up(n, m):
+    return (n + m - 1) // m * m
+
+
+def t_pass_brute(geom: SceneGeom, ray: Ray, block: int = 512):
+    """[R] rays vs all prims. Returns (t [R], prim [R] int32)."""
+    R = ray.o.shape[0]
+    T, Q = geom.n_tris, geom.n_quads
+    t_best = jnp.where(jnp.isfinite(ray.tmax), ray.tmax, BIG)
+    prim_best = jnp.full((R,), -1, jnp.int32)
+
+    if T > 0:
+        nb = _round_up(T, block) // block
+        pad = nb * block - T
+        v0 = jnp.pad(geom.tri_v0, ((0, pad), (0, 0))).reshape(nb, block, 3)
+        e1 = jnp.pad(geom.tri_e1, ((0, pad), (0, 0))).reshape(nb, block, 3)
+        e2 = jnp.pad(geom.tri_e2, ((0, pad), (0, 0))).reshape(nb, block, 3)
+
+        def body(carry, blk):
+            tb, pb = carry
+            bv0, be1, be2, base = blk
+            t, valid = _tri_t(
+                bv0[None], be1[None], be2[None],
+                ray.o[:, None], ray.d[:, None],
+                ray.tmin[:, None], tb[:, None],
+            )  # [R, block]
+            t = jnp.where(valid, t, BIG)
+            idx = jnp.argmin(t, axis=-1)
+            tmin_blk = jnp.take_along_axis(t, idx[:, None], axis=-1)[:, 0]
+            better = tmin_blk < tb
+            pid = base + idx.astype(jnp.int32)
+            # padded lanes have v0=e1=e2=0 -> degenerate, invalid
+            return (jnp.where(better, tmin_blk, tb),
+                    jnp.where(better, pid, pb)), None
+
+        bases = (jnp.arange(nb, dtype=jnp.int32) * block)
+        (t_best, prim_best), _ = jax.lax.scan(
+            body, (t_best, prim_best), (v0, e1, e2, bases)
+        )
+
+    if Q > 0:
+        # quadrics are few; single block
+        o_obj = xform_point_affine(geom.quad_w2o[None], ray.o[:, None])  # [R,Q,3]
+        d_obj = xform_vector(geom.quad_w2o[None], ray.d[:, None])
+        t, valid = _quad_candidates(
+            geom.quad_type[None], geom.quad_params[None], o_obj, d_obj,
+            ray.tmin[:, None], t_best[:, None],
+        )
+        t = jnp.where(valid, t, BIG)
+        idx = jnp.argmin(t, axis=-1)
+        tmin_q = jnp.take_along_axis(t, idx[:, None], axis=-1)[:, 0]
+        better = tmin_q < t_best
+        t_best = jnp.where(better, tmin_q, t_best)
+        prim_best = jnp.where(better, T + idx.astype(jnp.int32), prim_best)
+
+    hit_valid = prim_best >= 0
+    return jnp.where(hit_valid, t_best, BIG), prim_best
+
+
+def reconstruct(geom: SceneGeom, ray: Ray, t: jnp.ndarray, prim: jnp.ndarray) -> Hit:
+    """Phase 2: differential geometry for the winning prim per ray."""
+    R = ray.o.shape[0]
+    T = geom.n_tris
+    valid = prim >= 0
+    is_tri = valid & (prim < T)
+    tri_idx = jnp.clip(jnp.where(is_tri, prim, 0), 0, max(T - 1, 0))
+    quad_idx = jnp.clip(jnp.where(valid & ~is_tri, prim - T, 0), 0, max(geom.n_quads - 1, 0))
+
+    p_hit = ray.at(t)
+
+    if T > 0:
+        v0 = geom.tri_v0[tri_idx]
+        e1 = geom.tri_e1[tri_idx]
+        e2 = geom.tri_e2[tri_idx]
+        ng_t = normalize(cross(e1, e2))
+        # barycentrics at hit (recompute from MT)
+        pvec = cross(ray.d, e2)
+        det = dot(e1, pvec)
+        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+        tvec = ray.o - v0
+        b1 = dot(tvec, pvec) * inv_det
+        b2 = dot(ray.d, cross(tvec, e1)) * inv_det
+        b0 = 1.0 - b1 - b2
+        ns_v = geom.tri_n[tri_idx]  # [R, 3, 3]
+        ns_t = normalize(
+            b0[:, None] * ns_v[:, 0] + b1[:, None] * ns_v[:, 1] + b2[:, None] * ns_v[:, 2]
+        )
+        has_n = geom.tri_has_n[tri_idx]
+        ns_t = jnp.where(has_n[:, None], ns_t, ng_t)
+        uvs = geom.tri_uv[tri_idx]  # [R, 3, 2]
+        uv_t = b0[:, None] * uvs[:, 0] + b1[:, None] * uvs[:, 1] + b2[:, None] * uvs[:, 2]
+        # dpdu from uv parameterization (reference trianglemesh.cpp)
+        duv1 = uvs[:, 1] - uvs[:, 0]
+        duv2 = uvs[:, 2] - uvs[:, 0]
+        det_uv = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
+        inv_uv = jnp.where(jnp.abs(det_uv) > 1e-12, 1.0 / det_uv, 0.0)
+        dpdu_t = (duv2[:, 1:2] * e1 - duv1[:, 1:2] * e2) * inv_uv[:, None]
+        degen = jnp.abs(det_uv) < 1e-12
+        fallback, _ = _coord_sys(ng_t)
+        dpdu_t = jnp.where(degen[:, None], fallback, dpdu_t)
+        mat_t = geom.tri_mat[tri_idx]
+        light_t = geom.tri_light[tri_idx]
+    else:
+        z3 = jnp.zeros((R, 3))
+        ng_t = ns_t = dpdu_t = z3
+        uv_t = jnp.zeros((R, 2))
+        mat_t = light_t = jnp.zeros((R,), jnp.int32)
+
+    if geom.n_quads > 0:
+        qtype = geom.quad_type[quad_idx]
+        qparams = geom.quad_params[quad_idx]
+        qflip = geom.quad_flip[quad_idx]
+        o2w = geom.quad_o2w[quad_idx]
+        w2o = geom.quad_w2o[quad_idx]
+        # object-space t equals world-space t only for rigid transforms;
+        # recompute t in object space from the world hit is unnecessary —
+        # we intersected with the object-space ray built from the world ray,
+        # so t is consistent under affine maps of o and d.
+        p_q, n_q, uv_q, dpdu_q = _quad_detail(
+            qtype, qparams, qflip, o2w, w2o, ray.o, ray.d, t
+        )
+        mat_q = geom.quad_mat[quad_idx]
+        light_q = geom.quad_light[quad_idx]
+    else:
+        z3 = jnp.zeros((R, 3))
+        p_q = n_q = dpdu_q = z3
+        uv_q = jnp.zeros((R, 2))
+        mat_q = light_q = jnp.zeros((R,), jnp.int32)
+
+    sel = is_tri[:, None]
+    ng = jnp.where(sel, ng_t, n_q)
+    ns = jnp.where(sel, ns_t, n_q)
+    uv = jnp.where(is_tri[:, None], uv_t, uv_q)
+    dpdu = jnp.where(sel, dpdu_t, dpdu_q)
+    p = jnp.where(sel, p_hit, p_q)
+    mat = jnp.where(is_tri, mat_t, mat_q)
+    light = jnp.where(is_tri, light_t, light_q)
+    # orient geometric normal into ns hemisphere? pbrt keeps ng and aligns
+    # ns such that dot(ng, ns) > 0 (trianglemesh) — mirror that:
+    ng = jnp.where((dot(ng, ns) < 0.0)[:, None], -ng, ng)
+    return Hit(
+        valid=valid,
+        t=jnp.where(valid, t, BIG),
+        p=jnp.where(valid[:, None], p, 0.0),
+        ng=jnp.where(valid[:, None], ng, 0.0),
+        ns=jnp.where(valid[:, None], ns, 0.0),
+        uv=jnp.where(valid[:, None], uv, 0.0),
+        dpdu=jnp.where(valid[:, None], dpdu, 0.0),
+        mat=jnp.where(valid, mat, -1),
+        light=jnp.where(valid, light, -1),
+        prim=jnp.where(valid, prim, -1),
+    )
+
+
+def _coord_sys(n):
+    from pbrt_tpu.core.geometry import coordinate_system
+
+    return coordinate_system(n)
+
+
+def intersect(geom: SceneGeom, ray: Ray) -> Hit:
+    t, prim = t_pass_brute(geom, ray)
+    return reconstruct(geom, ray, t, prim)
+
+
+def intersect_p(geom: SceneGeom, ray: Ray) -> jnp.ndarray:
+    """Occlusion query: any hit in (tmin, tmax)? -> [R] bool."""
+    _, prim = t_pass_brute(geom, ray)
+    return prim >= 0

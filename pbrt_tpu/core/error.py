@@ -1,0 +1,32 @@
+"""Info/Warning/Error/Severe reporting channel (reference core/error.cpp).
+
+Severe raises instead of abort(); --quiet/--verbose gate the rest.
+"""
+from __future__ import annotations
+
+import sys
+
+quiet = False
+verbose = False
+
+
+class PbrtError(RuntimeError):
+    pass
+
+
+def info(msg: str):
+    if verbose and not quiet:
+        print(f"pbrt_tpu: {msg}", file=sys.stderr)
+
+
+def warning(msg: str):
+    if not quiet:
+        print(f"Warning: {msg}", file=sys.stderr)
+
+
+def error(msg: str):
+    print(f"Error: {msg}", file=sys.stderr)
+
+
+def severe(msg: str):
+    raise PbrtError(msg)

