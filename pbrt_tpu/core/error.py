@@ -30,3 +30,18 @@ def error(msg: str):
 
 def severe(msg: str):
     raise PbrtError(msg)
+
+
+def progress(title: str, done: int, total: int, t_start: float):
+    """Minimal ProgressReporter analog (reference core/progressreporter
+    .cpp): one updating line with elapsed seconds."""
+    if quiet:
+        return
+    import time
+
+    elapsed = time.time() - t_start
+    width = 40
+    filled = int(width * done / max(total, 1))
+    bar = "+" * filled + " " * (width - filled)
+    end = "\n" if done >= total else "\r"
+    print(f"\r{title}: [{bar}] ({elapsed:.1f}s)", end=end, file=sys.stderr)

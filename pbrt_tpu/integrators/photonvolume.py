@@ -1,0 +1,136 @@
+"""PhotonVolume integrator: ray-marched single scattering + volume
+photon-map multiple scattering + the RainbowVolume transfer.
+
+Replaces reference integrators/photonvolume.cpp:112-222 (the student's
+signature integrator). Per march step i over the volume span [t0, t1]:
+
+  Tr_i   accumulated transmittance (RR cutoff replaced by the static
+         step count; the recurrence is identical otherwise)
+  L_d    single scattering from one LD-chosen light with surface
+         occlusion + medium transmittance (:177-203); for rainbow
+         regions the phase-weighted term is replaced by
+         rainbowReflection(Ld, ray.d, wo) (:196-198)
+  L_ii   multiple scattering from the volume photon map:
+         sum(flux * phase) / ((4/3) pi r^3 sigma_s), >= 10 photons
+         (:65-108); skipped inside rainbow regions (:205-207)
+  Lv    += Tr_i * (sigma_a * Lve + sigma_s * (L_d + albedo * L_ii)) * dt
+         (:210-217)
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from pbrt_tpu.core import spectrum as spec
+from pbrt_tpu.core.geometry import Ray, dot, normalize
+from pbrt_tpu.core.transform import xform_point_affine
+from pbrt_tpu.integrators.volume import VolResult, _shadow, transmittance
+from pbrt_tpu.photon.map import knn_lookup
+from pbrt_tpu.samplers.samplers import integrator_uniform as iu
+from pbrt_tpu.scene.compile import CompiledScene
+from pbrt_tpu.volumes.registry import (
+    V_RAINBOW,
+    intersect_p as vol_intersect_p,
+    phase as vol_phase,
+    rainbow_reflection,
+    sigma_at,
+)
+
+S = spec.N_BINS
+BIG = 1e30
+
+
+def rainbow_mask(vol, p):
+    """True where p lies inside any rainbow region."""
+    kinds = np.asarray(vol.kind)
+    m = jnp.zeros(p.shape[:-1], bool)
+    for vi in range(vol.n_volumes):
+        if int(kinds[vi]) != V_RAINBOW:
+            continue
+        pv = xform_point_affine(vol.w2v[vi], p)
+        inside = jnp.all((pv >= vol.lo[vi]) & (pv <= vol.hi[vi]), axis=-1)
+        m = m | inside
+    return m
+
+
+def lphoton_volume(pm, p, w, wi_eval_g, n_used: int, max_dist2: float):
+    """Volume radiance estimate (reference photonvolume.cpp:65-108):
+    kNN flux x phase summed, / ((4/3) pi r^3 sigma_s applied by caller);
+    requires >= 10 photons in range."""
+    if pm is None:
+        return jnp.zeros(p.shape[:-1] + (S,), jnp.float32), jnp.zeros(p.shape[:-1], bool)
+    res = knn_lookup(pm, p, n_used, max_dist2)
+    ph = vol_phase(wi_eval_g[..., None], w[:, None, :], res.wi)  # [N, K]
+    contrib = res.alpha * jnp.where(res.valid, ph, 0.0)[..., None]
+    flux = jnp.sum(contrib, axis=1)
+    n_found = jnp.sum(res.valid, axis=1)
+    enough = n_found >= 10
+    r3 = jnp.power(jnp.maximum(res.r2_max, 1e-12), 1.5)
+    vol_inv = 1.0 / ((4.0 / 3.0) * jnp.pi * r3)
+    return flux * vol_inv[..., None], enough
+
+
+def li_photonvolume(scene: CompiledScene, ctx, ray: Ray, t_surf, pixel, sidx,
+                    n_steps: int, seed: int = 0) -> VolResult:
+    vol = scene.volume
+    N = ray.o.shape[0]
+    ones = jnp.ones((N, S), jnp.float32)
+    if vol is None:
+        return VolResult(L=jnp.zeros((N, S), jnp.float32), Tr=ones)
+    d = normalize(ray.d)
+    scale = jnp.sqrt(jnp.maximum(jnp.sum(ray.d * ray.d, -1), 1e-20))
+    t_end = jnp.where(jnp.isfinite(t_surf), t_surf * scale, 1e7)
+    hit, t0, t1 = vol_intersect_p(vol, ray.o, d, jnp.zeros((N,), jnp.float32), t_end)
+    dt = jnp.maximum(t1 - t0, 0.0) / n_steps
+    u0 = iu(pixel, sidx, 0, 60, seed)
+    n_lights = scene.n_lights
+
+    L = jnp.zeros((N, S), jnp.float32)
+    tau_acc = jnp.zeros((N, S), jnp.float32)
+    for i in range(n_steps):
+        t = t0 + (i + u0) * dt
+        p = ray.o + t[..., None] * d
+        sa, ss, le, g = sigma_at(vol, p)
+        tau_acc = tau_acc + (sa + ss) * dt[..., None]
+        tr = jnp.exp(-tau_acc)
+        # emission
+        L = L + tr * sa * le * dt[..., None]
+        in_rainbow = rainbow_mask(vol, p)
+
+        # single scattering from one light (:177-203)
+        if n_lights > 0:
+            from pbrt_tpu.lights.lighting import sample_light
+
+            u_pick = iu(pixel, sidx, i, 61, seed)
+            light_idx, pmf = scene.light_dist.sample_discrete(u_pick)
+            ls = sample_light(scene.lights, scene.envs,
+                              light_idx.astype(jnp.int32), p,
+                              iu(pixel, sidx, i, 62, seed),
+                              iu(pixel, sidx, i, 63, seed))
+            occ = _shadow(scene, p, ls.wi, ls.dist, hit)
+            tr_light = transmittance(vol, p, ls.wi, ls.dist,
+                                     max(4, n_steps // 4),
+                                     iu(pixel, sidx, i, 64, seed))
+            Ld_raw = ls.L * tr_light / jnp.maximum(ls.pdf * pmf, 1e-12)[..., None]
+            ph = vol_phase(g, d, ls.wi)
+            Ld_phase = Ld_raw * ph[..., None]
+            # rainbow: the angle->wavelength transfer REPLACES the
+            # phase-weighted direct term (:196-198). wo = -d (toward eye)
+            Ld_rainbow = rainbow_reflection(Ld_raw, d, ls.wi)
+            Ld = jnp.where(in_rainbow[..., None], Ld_rainbow, Ld_phase)
+            Ld = jnp.where((hit & ~occ)[..., None], Ld, 0.0)
+        else:
+            Ld = jnp.zeros((N, S), jnp.float32)
+
+        # multiple scattering from the volume photon map (:205-213)
+        Lii, enough = lphoton_volume(ctx.volume if ctx is not None else None,
+                                     p, d, g, ctx.vol_n_used if ctx else 10,
+                                     ctx.vol_max_dist2 if ctx else 0.01)
+        sig_s_y = jnp.sum(ss, -1) / S
+        Lii = Lii / jnp.maximum(sig_s_y, 1e-9)[..., None]
+        albedo = ss / jnp.maximum(sa + ss, 1e-9)
+        Lii_term = jnp.where((enough & ~in_rainbow)[..., None], albedo * Lii, 0.0)
+
+        L = L + tr * ss * (Ld + Lii_term) * dt[..., None]
+    Tr = jnp.where(hit[..., None], jnp.exp(-tau_acc), ones)
+    return VolResult(L=jnp.where(hit[..., None], L, 0.0), Tr=Tr)

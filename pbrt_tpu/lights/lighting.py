@@ -43,6 +43,7 @@ from pbrt_tpu.core.sampling import (
     INV_PI,
     INV_TWOPI,
     concentric_sample_disk,
+    cosine_sample_hemisphere,
     uniform_cone_pdf,
     uniform_sample_cone,
     uniform_sample_sphere,
@@ -118,7 +119,7 @@ def env_le(lights: LightsT, envs: List[EnvMap], d_world):
     out = jnp.zeros(d_world.shape[:-1] + (S,), jnp.float32)
     for env in envs:
         li = env.light_idx
-        if int(lights.kind[li]) != L_INFINITE:
+        if int(np.asarray(lights.kind)[li]) != L_INFINITE:
             continue
         w2l = lights.w2l[li]
         d = normalize(xform_vector(w2l, d_world))
@@ -285,7 +286,7 @@ def sample_light(lights: LightsT, envs: List[EnvMap], light_idx, p, u1, u2):
     # goniometric scale from image
     gonio_scale = jnp.ones((H,), jnp.float32)
     for env in envs:
-        if int(lights.kind[env.light_idx]) != L_GONIO:
+        if int(np.asarray(lights.kind)[env.light_idx]) != L_GONIO:
             continue
         d_l = normalize(xform_vector(w2l, -wi_point))
         u = spherical_phi(d_l) * INV_TWOPI
@@ -294,7 +295,7 @@ def sample_light(lights: LightsT, envs: List[EnvMap], light_idx, p, u1, u2):
         gonio_scale = jnp.where(light_idx == env.light_idx, g, gonio_scale)
     proj_img_scale = jnp.ones((H, S), jnp.float32)
     for env in envs:
-        if int(lights.kind[env.light_idx]) != L_PROJECTION:
+        if int(np.asarray(lights.kind)[env.light_idx]) != L_PROJECTION:
             continue
         x0, x1, y0, y1 = (params[..., 1], params[..., 2], params[..., 3], params[..., 4])
         u = (px - x0) / jnp.maximum(x1 - x0, 1e-9)
@@ -335,7 +336,7 @@ def light_pdf(lights: LightsT, envs: List[EnvMap], light_idx, p, wi):
     pdf = jnp.zeros((H,), jnp.float32)
     # infinite
     for env in envs:
-        if int(lights.kind[env.light_idx]) != L_INFINITE:
+        if int(np.asarray(lights.kind)[env.light_idx]) != L_INFINITE:
             continue
         w2l = lights.w2l[env.light_idx]
         d = normalize(xform_vector(w2l, wi))
@@ -373,3 +374,147 @@ def area_emission(lights: LightsT, light_idx, ng, wo):
     spectra = _gather(lights.spectra, light_idx)
     emits = dot(ng, wo) > 0.0
     return jnp.where((emits & (light_idx >= 0))[..., None], spectra, 0.0)
+
+
+class LightRaySample(NamedTuple):
+    """Emitted-ray sample (the reference's second Sample_L overload,
+    core/light.h:70: Sample_L(scene, ls, u1, u2, time, ray, Ns, pdf))."""
+
+    o: jnp.ndarray       # [H, 3] origin
+    d: jnp.ndarray       # [H, 3] unit direction
+    alpha: jnp.ndarray   # [H, S] L / (pdf * pick_pmf-not-included)
+    valid: jnp.ndarray   # [H]
+
+
+def sample_light_ray(lights: LightsT, envs: List[EnvMap], light_idx,
+                     world_c, world_rad,
+                     u1, u2, u3, u4) -> LightRaySample:
+    """Sample an emitted photon ray from light light_idx per lane.
+
+    alpha already includes L/pdf for the light's own sampling; the
+    caller divides by the pick pmf (reference photonshooter.cpp:262
+    alpha = Le / (pdf * lightPdf))."""
+    H = light_idx.shape[0]
+    kind = _gather(lights.kind, light_idx)
+    l2w = _gather(lights.l2w, light_idx)
+    spectra = _gather(lights.spectra, light_idx)
+    params = _gather(lights.params, light_idx)
+    light_pos = l2w[..., :3, 3]
+
+    # POINT / GONIO: uniform sphere, pdf = 1/4pi  (lights/point.cpp)
+    d_sph = uniform_sample_sphere(u1, u2)
+    a_point = spectra * (4.0 * jnp.pi)
+
+    # SPOT: uniform cone around light +z, pdf = cone (lights/spot.cpp)
+    cos_width = params[..., 0]
+    d_cone_l = uniform_sample_cone(u1, u2, cos_width)
+    zl = l2w[..., :3, 2]
+    xl = l2w[..., :3, 0]
+    yl = l2w[..., :3, 1]
+    d_spot = (d_cone_l[..., 0:1] * xl + d_cone_l[..., 1:2] * yl
+              + d_cone_l[..., 2:3] * zl)
+    cos_t = d_cone_l[..., 2]
+    fall = spot_falloff(cos_t, params[..., 0], params[..., 1])
+    a_spot = spectra * fall[..., None] / uniform_cone_pdf(cos_width)[..., None]
+
+    # DISTANT: disk of world radius, fixed direction (lights/distant.cpp)
+    wi_dist = normalize(params[..., 0:3])   # direction TOWARD the light
+    v1, v2 = coordinate_system(wi_dist)
+    dx, dy = concentric_sample_disk(u1, u2)
+    p_disk = (world_c + world_rad *
+              (dx[..., None] * v1 + dy[..., None] * v2 + wi_dist))
+    d_distant = -wi_dist
+    a_distant = spectra * (jnp.pi * world_rad * world_rad)
+
+    # AREA: triangle CDF point + cosine hemisphere (lights/diffuse.cpp)
+    AT = lights.al_v0.shape[0]
+    tri_start = params[..., 6].astype(jnp.int32)
+    tri_count = params[..., 7].astype(jnp.int32)
+    if AT > 0:
+        idxs = jnp.arange(AT)
+        in_seg = (idxs[None, :] >= tri_start[:, None]) & (
+            idxs[None, :] < (tri_start + tri_count)[:, None])
+        passed = in_seg & (lights.al_cdf[None, :] >= u3[:, None] * 0.9999999)
+        first = jnp.argmax(passed, axis=-1)
+        tri_j = jnp.where(jnp.any(passed, -1), first, tri_start)
+        v0t = _gather(lights.al_v0, tri_j)
+        e1t = _gather(lights.al_e1, tri_j)
+        e2t = _gather(lights.al_e2, tri_j)
+        b0, b1 = uniform_sample_triangle(u1, u2)
+        p_tri = v0t + b0[..., None] * e1t + b1[..., None] * e2t
+        n_tri = cross(e1t, e2t)
+        n_tri = n_tri / jnp.maximum(length(n_tri), 1e-12)[..., None]
+    else:
+        p_tri = jnp.zeros((H, 3), jnp.float32)
+        n_tri = jnp.concatenate(
+            [jnp.zeros((H, 2), jnp.float32), jnp.ones((H, 1), jnp.float32)], -1)
+    # sphere-shaped area lights: uniform point on sphere
+    center = params[..., 2:5]
+    radius = params[..., 5]
+    sph_n = uniform_sample_sphere(u1, u2)
+    p_sph = center + radius[..., None] * sph_n
+    is_sphere = params[..., 1] > 0.5
+    p_area = jnp.where(is_sphere[..., None], p_sph, p_tri)
+    n_area = jnp.where(is_sphere[..., None], sph_n, n_tri)
+    d_cos = cosine_sample_hemisphere(u3, u4)
+    ax1, ax2 = coordinate_system(n_area)
+    d_area = (d_cos[..., 0:1] * ax1 + d_cos[..., 1:2] * ax2
+              + d_cos[..., 2:3] * n_area)
+    area = jnp.maximum(params[..., 0], 1e-12)
+    # pdf = (1/area) * (cos/pi); alpha = L / pdf = L * area * pi / cos,
+    # cos cancels against the emitted-power cosine: net L * area * pi
+    a_area = spectra * (jnp.pi * area)[..., None]
+
+    # INFINITE: importance-sampled direction, disk origin at world edge
+    d_inf = -d_sph  # fallback uniform
+    a_inf = spectra * (4.0 * jnp.pi * jnp.pi * world_rad * world_rad)
+    for env in envs:
+        if int(np.asarray(lights.kind)[env.light_idx]) != L_INFINITE:
+            continue
+        (uu, vv), pdf_uv = env.dist.sample_continuous(u1, u2)
+        theta = vv * jnp.pi
+        phi = uu * 2.0 * jnp.pi
+        sin_t = jnp.maximum(jnp.sin(theta), 1e-6)
+        d_l = jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi),
+                         jnp.cos(theta)], -1)
+        l2w_e = lights.l2w[env.light_idx]
+        w_to = normalize(xform_vector(l2w_e, d_l))   # toward the light
+        pdf_dir = pdf_uv / (2.0 * jnp.pi * jnp.pi * sin_t)
+        Le = lights.spectra[env.light_idx] * _env_lookup(env, uu, vv)
+        sel = (light_idx == env.light_idx)
+        d_inf = jnp.where(sel[..., None], -w_to, d_inf)
+        a_inf = jnp.where(
+            sel[..., None],
+            Le * (jnp.pi * world_rad * world_rad
+                  / jnp.maximum(pdf_dir, 1e-12))[..., None],
+            a_inf,
+        )
+    v1i, v2i = coordinate_system(-d_inf)
+    dxi, dyi = concentric_sample_disk(u3, u4)
+    p_inf = (world_c + world_rad *
+             (dxi[..., None] * v1i + dyi[..., None] * v2i - d_inf))
+
+    is_pt = (kind == L_POINT) | (kind == L_GONIO) | (kind == L_PROJECTION)
+    is_spot = kind == L_SPOT
+    is_distant = kind == L_DISTANT
+    is_inf = kind == L_INFINITE
+    is_area = kind == L_AREA
+
+    o = jnp.where(
+        is_distant[..., None], p_disk,
+        jnp.where(is_inf[..., None], p_inf,
+                  jnp.where(is_area[..., None], p_area, light_pos)))
+    d = jnp.where(
+        is_spot[..., None], d_spot,
+        jnp.where(is_distant[..., None], d_distant,
+                  jnp.where(is_inf[..., None], d_inf,
+                            jnp.where(is_area[..., None], d_area, d_sph))))
+    alpha = (
+        jnp.where(is_pt[..., None], a_point, 0.0)
+        + jnp.where(is_spot[..., None], a_spot, 0.0)
+        + jnp.where(is_distant[..., None], a_distant, 0.0)
+        + jnp.where(is_inf[..., None], a_inf, 0.0)
+        + jnp.where(is_area[..., None], a_area, 0.0)
+    )
+    return LightRaySample(o=o, d=normalize(d), alpha=alpha,
+                          valid=jnp.ones((H,), bool))

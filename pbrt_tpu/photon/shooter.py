@@ -1,0 +1,361 @@
+"""Wavefront photon shooting: builds caustic/indirect/direct/volume maps.
+
+Replaces reference core/photonshooter.{h,cpp}: PhotonShootingTask
+(:232-277) + followPhoton (:47-229). The recursive CPU path becomes a
+fixed-depth unrolled wavefront: a jitted batch traces B photon paths in
+lockstep, emitting per-bounce photon records (position, alpha, wi,
+class); the host accumulates batches until the quotas are met, exactly
+like the task loop accumulated 4096-path blocks under a mutex
+(:280-355) — the mutex is simply batch concatenation here (and an
+all_gather under a device mesh).
+
+Key mappings:
+- dispersion splitSpectrum (1 -> k monochromatic photons, :141-145)
+  -> importance-sample ONE wavelength bin (spectrum.sample_bin),
+  keeping the lane count fixed; unbiased.
+- volume interaction by stepped transmittance threshold (:61-80)
+  -> Woodcock/null-collision free-flight sampling against the medium
+  majorant (statistically equivalent interaction distances).
+- absorb-or-scatter by albedo + uniform-sphere phase resample (:88-126)
+  -> the same, masked.
+- abort heuristic (<1/1024 yield past 500k shots, :285-299) kept.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pbrt_tpu.core import spectrum as spec
+from pbrt_tpu.core.error import info, progress, warning
+from pbrt_tpu.core.geometry import Ray, dot, normalize
+from pbrt_tpu.core.sampling import uniform_sample_sphere
+from pbrt_tpu.materials.bsdf import (
+    bsdf_sample,
+    has_non_specular,
+    has_specular,
+    material_lobes,
+)
+from pbrt_tpu.photon.map import PhotonMap, build_photon_map
+from pbrt_tpu.samplers.samplers import integrator_uniform as iu
+from pbrt_tpu.scene.compile import CompiledScene, eval_bsdf_params
+from pbrt_tpu.volumes.registry import phase as vol_phase, sigma_at
+from pbrt_tpu.volumes.registry import intersect_p as vol_intersect_p
+
+S = spec.N_BINS
+BIG = 1e30
+RAY_EPS = 1e-3
+
+
+@dataclass
+class PhotonCtx:
+    caustic: Optional[PhotonMap]
+    indirect: Optional[PhotonMap]
+    volume: Optional[PhotonMap]
+    direct: Optional[PhotonMap]
+    n_caustic_paths: int     # paths shot to fill each map (normalization,
+    n_indirect_paths: int    # reference photonshooter.cpp:333 1/nshot)
+    n_volume_paths: int
+    # merged defaults (reference photonshooter.cpp:529-548)
+    n_used: int
+    max_dist2: float
+    vol_n_used: int
+    vol_max_dist2: float
+    final_gather: bool
+    gather_samples: int
+    cos_gather_angle: float
+    max_specular_depth: int
+    max_photon_depth: int
+
+
+def _shoot_batch_fn(scene: CompiledScene, max_depth: int, has_volume: bool):
+    """Build the jitted one-batch shooting function.
+
+    Returns per-bounce record arrays, classes:
+      0 none / 1 caustic / 2 indirect / 3 direct / 4 volume
+    """
+    lights = scene.lights
+    world_c = jnp.asarray(0.5 * (scene.world_lo + scene.world_hi), jnp.float32)
+    world_rad = float(np.linalg.norm(scene.world_hi - scene.world_lo) * 0.5) + 1e-3
+    vol = scene.volume
+    if has_volume and vol is not None:
+        sig_max = float(np.max(np.asarray(vol.sigma_a + vol.sigma_s).sum(0).max()))
+        # majorant over the table; grid densities scale it
+        gmax = float(np.max(np.asarray(vol.grid))) if np.asarray(vol.grid).size else 1.0
+        sig_majorant = max(sig_max * max(gmax, 1.0), 1e-6)
+    else:
+        sig_majorant = 1.0
+
+    from pbrt_tpu.lights.lighting import sample_light_ray
+
+    def batch(lane, shot_base, seed):
+        B = lane.shape[0]
+        zf = jnp.zeros((B,), jnp.float32)
+
+        def u(depth, dim):
+            return iu(lane, shot_base, depth, dim, seed)
+
+        # --- light pick + emission
+        u_pick = u(0, 0)
+        li, pmf = scene.light_dist.sample_discrete(u_pick)
+        li = li.astype(jnp.int32)
+        lr = sample_light_ray(lights, scene.envs, li, world_c, world_rad,
+                              u(0, 1), u(0, 2), u(0, 3), u(0, 4))
+        alpha = lr.alpha / jnp.maximum(pmf, 1e-12)[..., None]
+        ray_o, ray_d = lr.o, lr.d
+        alive = ~spec.is_black(alpha)
+        specular_only = jnp.ones((B,), bool)   # path so far all specular
+        n_inter = jnp.zeros((B,), jnp.int32)   # surface+volume interactions
+        lam_nm = jnp.full((B,), -1.0, jnp.float32)
+
+        rec_pos, rec_alpha, rec_wi, rec_cls = [], [], [], []
+
+        for depth in range(max_depth):
+            hit = scene.intersect(Ray(ray_o, ray_d, zf, jnp.full((B,), BIG), zf))
+            t_hit = jnp.where(hit.valid, hit.t, BIG)
+
+            # --- volume interaction before the surface (Woodcock)
+            if has_volume and vol is not None:
+                vhit, vt0, vt1 = vol_intersect_p(vol, ray_o, ray_d, zf, t_hit)
+                # up to 4 null-collision rounds
+                t_try = vt0
+                interacted = jnp.zeros((B,), bool)
+                t_int = jnp.full((B,), BIG)
+                for wtrial in range(4):
+                    u_ff = u(depth, 10 + 2 * wtrial)
+                    step = -jnp.log(jnp.maximum(u_ff, 1e-12)) / sig_majorant
+                    t_try = t_try + step
+                    inside = vhit & (t_try < vt1) & ~interacted & alive
+                    p_try = ray_o + t_try[..., None] * ray_d
+                    sa_t, ss_t, _, _ = sigma_at(vol, p_try)
+                    sig_here = spec.y(sa_t + ss_t) / jnp.maximum(spec.y(jnp.ones((B, S))), 1e-12)
+                    sig_here = jnp.sum(sa_t + ss_t, -1) / S
+                    accept = inside & (u(depth, 11 + 2 * wtrial) * sig_majorant < sig_here)
+                    t_int = jnp.where(accept & ~interacted, t_try, t_int)
+                    interacted = interacted | accept
+                p_int = ray_o + t_int[..., None] * ray_d
+                sa_i, ss_i, _, g_i = sigma_at(vol, p_int)
+                sig_t = jnp.sum(sa_i + ss_i, -1) / S
+                albedo = jnp.sum(ss_i, -1) / jnp.maximum(jnp.sum(sa_i + ss_i, -1), 1e-12)
+                # store volume photon for multiple scattering (n_inter >= 1:
+                # photon has interacted before; reference stores depth>1)
+                store_vol = interacted & (n_inter >= 1)
+                rec_pos.append(p_int)
+                rec_alpha.append(jnp.where(store_vol[..., None], alpha, 0.0))
+                rec_wi.append(-ray_d)
+                rec_cls.append(jnp.where(store_vol, 4, 0).astype(jnp.int32))
+                # absorb-or-scatter (reference :88)
+                scatter = interacted & (u(depth, 18) < albedo)
+                # resample direction uniformly, weight by phase (reference :98-126)
+                new_d = uniform_sample_sphere(u(depth, 19), u(depth, 20))
+                ph = vol_phase(g_i, -ray_d, new_d)
+                w_scale = (ph * 4.0 * jnp.pi)[..., None]  # / (1/4pi) pdf
+                # continue: scattered lanes move to p_int with new dir
+                cont_vol = scatter
+                died_vol = interacted & ~scatter
+                alpha = jnp.where(cont_vol[..., None], alpha * w_scale, alpha)
+                ray_o = jnp.where(cont_vol[..., None], p_int, ray_o)
+                ray_d_new = jnp.where(cont_vol[..., None], new_d, ray_d)
+                n_inter = n_inter + jnp.where(interacted, 1, 0)
+                specular_only = specular_only & ~interacted
+                alive = alive & ~died_vol
+                surface_lane = alive & hit.valid & ~interacted
+                ray_d = ray_d_new
+            else:
+                interacted = jnp.zeros((B,), bool)
+                surface_lane = alive & hit.valid
+
+            # --- surface interaction
+            params = eval_bsdf_params(scene, hit)
+            lobes = material_lobes(params)
+            ns_lobe = has_non_specular(lobes)
+            n_inter_s = n_inter + jnp.where(surface_lane, 1, 0)
+            # classify and store at diffuse-ish surfaces (reference :148-189)
+            store_surf = surface_lane & ns_lobe
+            is_first = n_inter_s == 1
+            cls = jnp.where(
+                store_surf & is_first, 3,                                 # direct
+                jnp.where(store_surf & specular_only, 1,                  # caustic
+                          jnp.where(store_surf, 2, 0)),                   # indirect
+            ).astype(jnp.int32)
+            rec_pos.append(hit.p)
+            rec_alpha.append(jnp.where(store_surf[..., None], alpha, 0.0))
+            rec_wi.append(-ray_d)
+            rec_cls.append(cls)
+
+            if depth == max_depth - 1:
+                break
+
+            # --- dispersion split (reference :141-145): transmissive BSDF,
+            # dense spectrum, dispersive material -> pick one wavelength
+            from pbrt_tpu.materials.bsdf import has_transmissive
+
+            is_disp = jnp.take(
+                jnp.concatenate([scene.material_dispersive.astype(jnp.int32),
+                                 jnp.zeros((1,), jnp.int32)]),
+                jnp.clip(hit.mat, 0, scene.material_dispersive.shape[0]),
+            ) > 0
+            need_lam = surface_lane & is_disp & has_transmissive(lobes) & (lam_nm < 0)
+            bin_idx, bin_w = spec.sample_bin(alpha, u(depth, 30))
+            alpha = jnp.where(
+                need_lam[..., None],
+                alpha * spec.one_hot(bin_idx) * bin_w[..., None],
+                alpha,
+            )
+            lam_nm = jnp.where(need_lam, spec.bin_wavelength(bin_idx), lam_nm)
+
+            # --- BSDF continuation
+            from pbrt_tpu.integrators.surface import make_frame
+
+            frame = make_frame(hit)
+            wo = -normalize(ray_d)
+            bs = bsdf_sample(lobes, frame, wo, u(depth, 31), u(depth, 32),
+                             u(depth, 33), u(depth, 34), lam_nm=lam_nm)
+            cos_i = jnp.abs(dot(bs.wi, frame.ns))
+            anew = alpha * bs.f * (cos_i / jnp.maximum(bs.pdf, 1e-12))[..., None]
+            # Russian roulette on throughput ratio (reference :214-224)
+            cont_p = jnp.clip(
+                spec.y(anew) / jnp.maximum(spec.y(alpha), 1e-12), 0.0, 1.0)
+            cont_p = jnp.where(cont_p > 0.0, jnp.maximum(cont_p, 0.1), 0.0)
+            survive = u(depth, 35) < cont_p
+            anew = anew / jnp.maximum(cont_p, 1e-9)[..., None]
+            new_alive_s = surface_lane & bs.valid & survive & ~spec.is_black(anew)
+
+            vol_cont = interacted & alive if (has_volume and vol is not None) else jnp.zeros((B,), bool)
+            alpha = jnp.where(new_alive_s[..., None], anew, alpha)
+            ray_o = jnp.where(new_alive_s[..., None], hit.p + bs.wi * RAY_EPS, ray_o)
+            ray_d = jnp.where(new_alive_s[..., None], bs.wi, ray_d)
+            specular_only = specular_only & jnp.where(surface_lane, bs.is_specular, True)
+            n_inter = n_inter_s
+            alive = vol_cont | new_alive_s
+
+        pos = jnp.stack(rec_pos, 1)       # [B, D, 3]
+        al = jnp.stack(rec_alpha, 1)      # [B, D, S]
+        wi = jnp.stack(rec_wi, 1)
+        cls = jnp.stack(rec_cls, 1)
+        return pos, al, wi, cls
+
+    return jax.jit(batch, static_argnames=())
+
+
+def build_photon_maps(scene: CompiledScene, surf_params, vol_params,
+                      options=None) -> PhotonCtx:
+    """Shoot photons until quotas are met (reference Preprocess :457-526
+    + CreatePhotonShooter :529-548 merged-param defaults)."""
+    options = options or {}
+    quick = bool(options.get("quick"))
+
+    def find(name, default, kind="int"):
+        f = surf_params.find_one_int if kind == "int" else surf_params.find_one_float
+        g = vol_params.find_one_int if kind == "int" else vol_params.find_one_float
+        v = f(name, None) if False else f(name, -123456789)
+        if v == -123456789:
+            v = g(name, default)
+        return v
+
+    n_caustic = find("causticphotons", 20000)
+    n_indirect = find("indirectphotons", 10000)
+    n_volume = find("volumephotons", 0)
+    n_used = find("nused", 50)
+    max_dist = find("maxdist", 0.1, "float")
+    vol_n_used = vol_params.find_one_int("nused", n_used)
+    vol_max_dist = vol_params.find_one_float("maxdist", max_dist)
+    final_gather = bool(surf_params.find_one_bool("finalgather", True))
+    gather_samples = find("finalgathersamples", 32)
+    gather_angle = find("gatherangle", 10.0, "float")
+    max_spec = find("maxspeculardepth", 5)
+    max_photon_depth = find("maxphotondepth", 5)
+    if quick:
+        n_caustic = max(1, n_caustic // 8)
+        n_indirect = max(1, n_indirect // 8)
+        n_volume = max(1, n_volume // 8) if n_volume else 0
+        gather_samples = max(1, gather_samples // 4)
+
+    has_volume = scene.volume is not None and n_volume > 0
+    if scene.lights is None or scene.n_lights == 0:
+        warning("photon shooting with no lights; maps empty")
+        return PhotonCtx(None, None, None, None, 1, 1, 1, n_used,
+                         max_dist * max_dist, vol_n_used,
+                         vol_max_dist * vol_max_dist, final_gather,
+                         gather_samples,
+                         float(np.cos(np.deg2rad(gather_angle))),
+                         max_spec, max_photon_depth)
+
+    batch_fn = _shoot_batch_fn(scene, max_photon_depth, has_volume)
+    B = 4096  # reference block size (photonshooter.cpp:247)
+    caus, ind, volp, direct = [], [], [], []
+    shots = 0
+    shots_caus = shots_ind = shots_vol = None
+    import time as _t
+
+    t0 = _t.time()
+    max_batches = 256 if not quick else 32
+    for bi in range(max_batches):
+        lane = jnp.arange(B, dtype=jnp.int32)
+        pos, al, wi, cls = batch_fn(lane, jnp.full((B,), shots, jnp.int32),
+                                    int(options.get("seed", 0)))
+        shots += B
+        pos = np.asarray(pos).reshape(-1, 3)
+        al = np.asarray(al).reshape(-1, S)
+        wi = np.asarray(wi).reshape(-1, 3)
+        cls = np.asarray(cls).reshape(-1)
+        nz = al.sum(-1) > 0
+        for want, acc, code in ((n_caustic, caus, 1), (n_indirect, ind, 2),
+                                (n_volume, volp, 4), (n_indirect, direct, 3)):
+            m = nz & (cls == code)
+            if m.any():
+                acc.append((pos[m], al[m], wi[m]))
+        nc = sum(len(a[0]) for a in caus)
+        ni = sum(len(a[0]) for a in ind)
+        nv = sum(len(a[0]) for a in volp)
+        if shots_caus is None and nc >= n_caustic:
+            shots_caus = shots
+        if shots_ind is None and ni >= n_indirect:
+            shots_ind = shots
+        if shots_vol is None and nv >= n_volume:
+            shots_vol = shots
+        done = (nc >= n_caustic or shots > 500000) and \
+               (ni >= n_indirect or shots > 500000) and \
+               (nv >= n_volume or not has_volume or shots > 500000)
+        progress("Shooting photons", bi + 1 if not done else max_batches,
+                 max_batches, t0)
+        if done:
+            break
+        # abort heuristic (reference :285-299)
+        if shots > 500000 and (nc + ni + nv) < shots // 1024:
+            warning("unable to store enough photons; aborting shooting")
+            break
+    progress("Shooting photons", 1, 1, t0)
+    shots_caus = shots_caus or shots
+    shots_ind = shots_ind or shots
+    shots_vol = shots_vol or shots
+
+    def mk(acc, cell, limit, nshot):
+        if not acc:
+            return None
+        p = np.concatenate([a[0] for a in acc])[:limit]
+        a = np.concatenate([a[1] for a in acc])[:limit] / max(nshot, 1)
+        w = np.concatenate([a2[2] for a2 in acc])[:limit]
+        return build_photon_map(p, a, w, cell)
+
+    ctx = PhotonCtx(
+        caustic=mk(caus, max_dist, n_caustic, shots_caus),
+        indirect=mk(ind, max_dist * 2.0, n_indirect, shots_ind),
+        volume=mk(volp, vol_max_dist, max(n_volume, 1), shots_vol),
+        direct=mk(direct, max_dist * 2.0, n_indirect, shots_ind),
+        n_caustic_paths=shots_caus, n_indirect_paths=shots_ind,
+        n_volume_paths=shots_vol,
+        n_used=n_used, max_dist2=max_dist * max_dist,
+        vol_n_used=vol_n_used, vol_max_dist2=vol_max_dist * vol_max_dist,
+        final_gather=final_gather, gather_samples=gather_samples,
+        cos_gather_angle=float(np.cos(np.deg2rad(gather_angle))),
+        max_specular_depth=max_spec, max_photon_depth=max_photon_depth,
+    )
+    info(f"photon maps: caustic={0 if ctx.caustic is None else ctx.caustic.count} "
+         f"indirect={0 if ctx.indirect is None else ctx.indirect.count} "
+         f"volume={0 if ctx.volume is None else ctx.volume.count} "
+         f"({shots} paths)")
+    return ctx

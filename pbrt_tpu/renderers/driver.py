@@ -1,0 +1,224 @@
+"""Render driver: the SamplerRenderer analog.
+
+Replaces reference renderers/samplerrenderer.cpp:190-249 and the
+MakeRenderer dispatch (core/api.cpp:1221-1288). Instead of a task pool
+over 16x16 pixel windows, the image is cut into fixed-size wavefront
+tiles of camera samples; each tile runs one jitted megakernel
+(camera raygen -> surface Li -> volume Li -> filtered film deposit)
+and tiles stream on the host. Under a device mesh the tile axis is
+sharded with jax.sharding (pbrt_tpu.parallel).
+"""
+from __future__ import annotations
+
+import math
+import time as _time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pbrt_tpu.core import spectrum as spec
+from pbrt_tpu.core.error import info, progress, warning
+from pbrt_tpu.core.geometry import Ray
+from pbrt_tpu.accel.intersect import intersect
+from pbrt_tpu.cameras.cameras import make_camera
+from pbrt_tpu.film import film as film_mod
+from pbrt_tpu.integrators import surface as surf_int
+from pbrt_tpu.integrators import volume as vol_int
+from pbrt_tpu.samplers.samplers import camera_samples, make_sampler
+from pbrt_tpu.scene.compile import CompiledScene, compile_scene
+from pbrt_tpu.scene.records import RenderOptions
+
+S = spec.N_BINS
+BIG = 1e30
+
+
+def render_scene(ro: RenderOptions, options: Optional[dict] = None):
+    """Parse-complete hook: compile the scene and dispatch by renderer
+    (reference pbrtWorldEnd -> MakeRenderer -> Render)."""
+    options = dict(options or {})
+    scene = compile_scene(ro)
+
+    filter_spec = film_mod.make_filter(ro.filter_name, ro.filter_params)
+    film = film_mod.make_film(ro.film_name, ro.film_params, filter_spec, options)
+
+    from pbrt_tpu.core.transform import Transform
+
+    cam_to_world = ro.camera_to_world or Transform()
+    camera = make_camera(ro.camera_name, ro.camera_params, cam_to_world,
+                         film.xres, film.yres)
+    sampler = make_sampler(ro.sampler_name, ro.sampler_params, options)
+
+    name = ro.renderer_name
+    if name == "metropolis":
+        from pbrt_tpu.renderers.metropolis import render_metropolis
+
+        return render_metropolis(scene, ro, film, camera, options)
+    if name == "aggregatetest":
+        from pbrt_tpu.renderers.aggregatetest import run_aggregate_test
+
+        return run_aggregate_test(scene, ro, options)
+    if name == "surfacepoints":
+        from pbrt_tpu.renderers.surfacepoints import render_surface_points
+
+        return render_surface_points(scene, ro, camera, options)
+    if name == "createprobes":
+        from pbrt_tpu.renderers.createprobes import render_create_probes
+
+        return render_create_probes(scene, ro, options)
+    if name != "sampler":
+        warning(f'Renderer "{name}" unknown; using "sampler".')
+    return render_sampler(scene, ro, film, camera, sampler, options)
+
+
+def _make_transmittance_fn(scene: CompiledScene, n_steps: int):
+    if scene.volume is None:
+        return None
+
+    def fn(p, wi, dist):
+        # offset jitter tied to position hash for determinism
+        u = jnp.zeros(p.shape[0], jnp.float32) + 0.5
+        return vol_int.transmittance(scene.volume, p, wi, dist, n_steps, u)
+
+    return fn
+
+
+def build_li_fn(scene: CompiledScene, ro: RenderOptions, options: dict):
+    """Compose surface + volume Li into one wavefront radiance fn
+    (reference samplerrenderer.cpp:228-249 SamplerRenderer::Li:
+    return *T * Li_surface + Li_volume)."""
+    sname = ro.surf_integrator_name
+    sp = ro.surf_integrator_params
+    vname = ro.vol_integrator_name
+    vp = ro.vol_integrator_params
+    quick = bool(options.get("quick"))
+
+    max_depth = sp.find_one_int("maxdepth", 5)
+    step_size = vp.find_one_float("stepsize", 1.0)
+    n_steps = 16
+    if scene.volume is not None:
+        n_steps = vol_int.pick_n_steps(scene.volume, step_size,
+                                       cap=32 if quick else 128)
+    trans_steps = max(4, n_steps // 2)
+    trans_fn = _make_transmittance_fn(scene, trans_steps)
+
+    photon_ctx = None
+    if sname in ("photonmap", "exphotonmap") or vname == "photonvolume":
+        from pbrt_tpu.photon.shooter import build_photon_maps
+
+        photon_ctx = build_photon_maps(scene, sp, vp, options)
+
+    def surface_li(ray, pixel, sidx, seed):
+        if sname in ("photonmap", "exphotonmap"):
+            from pbrt_tpu.integrators.photonmap import li_photonmap
+
+            return li_photonmap(scene, photon_ctx, ray, pixel, sidx,
+                                max_depth=max_depth, seed=seed,
+                                transmittance_fn=trans_fn)
+        if sname == "directlighting":
+            strategy = sp.find_one_string("strategy", "all")
+            return surf_int.li_direct(scene, ray, pixel, sidx, max_depth=max_depth,
+                                      seed=seed, strategy=strategy,
+                                      transmittance_fn=trans_fn)
+        if sname == "whitted":
+            return surf_int.li_whitted(scene, ray, pixel, sidx, max_depth=max_depth,
+                                       seed=seed, transmittance_fn=trans_fn)
+        if sname == "ambientocclusion":
+            ns = sp.find_one_int("nsamples", 2048 if not quick else 16)
+            md = sp.find_one_float("maxdist", BIG)
+            return surf_int.li_ao(scene, ray, pixel, sidx,
+                                  n_samples=min(ns, 64), max_dist=md, seed=seed)
+        if sname != "path":
+            warning(f'SurfaceIntegrator "{sname}" not yet TPU-lowered; using "path".')
+        return surf_int.li_path(scene, ray, pixel, sidx, max_depth=max_depth,
+                                seed=seed, transmittance_fn=trans_fn)
+
+    def volume_li(ray, t_surf, pixel, sidx, seed):
+        N = ray.o.shape[0]
+        if scene.volume is None or vname == "none":
+            return vol_int.VolResult(L=jnp.zeros((N, S), jnp.float32),
+                                     Tr=jnp.ones((N, S), jnp.float32))
+        if vname == "emission":
+            return vol_int.li_emission(scene.volume, ray, t_surf, pixel, sidx,
+                                       n_steps, seed)
+        if vname == "photonvolume":
+            from pbrt_tpu.integrators.photonvolume import li_photonvolume
+
+            return li_photonvolume(scene, photon_ctx, ray, t_surf, pixel, sidx,
+                                   n_steps, seed)
+        if vname != "single":
+            warning(f'VolumeIntegrator "{vname}" not yet TPU-lowered; using "single".')
+        return vol_int.li_single(scene, ray, t_surf, pixel, sidx, n_steps, seed)
+
+    def li(ray: Ray, pixel, sidx, seed: int):
+        L_surf = surface_li(ray, pixel, sidx, seed)
+        if scene.volume is None:
+            return L_surf
+        hit_t, _prim = _first_hit_t(scene, ray)
+        vr = volume_li(ray, hit_t, pixel, sidx, seed)
+        return vr.Tr * L_surf + vr.L
+
+    return li
+
+
+def _first_hit_t(scene: CompiledScene, ray: Ray):
+    hit = scene.intersect(ray)
+    return jnp.where(hit.valid, hit.t, jnp.full_like(hit.t, BIG)), hit.prim
+
+
+def render_sampler(scene: CompiledScene, ro: RenderOptions, film, camera,
+                   sampler, options: dict):
+    """The tile-streaming render loop."""
+    li_fn = build_li_fn(scene, ro, options)
+    seed = int(options.get("seed", 0))
+    spp = sampler.spp
+
+    # autofocus hook (reference samplerrenderer.cpp:202 camera->AutoFocus)
+    from pbrt_tpu.cameras.cameras import CAM_REALISTIC
+
+    if camera.kind == CAM_REALISTIC and camera.lens.af_zones:
+        from pbrt_tpu.cameras.realistic import autofocus
+
+        autofocus(scene, camera, film, li_fn, seed=seed,
+                  spp=4 if options.get("quick") else 16)
+
+    # Wavefront tile: cap the per-launch sample count to bound memory.
+    tile_samples = int(options.get("tile_samples", 1 << 16))
+    pix_per_tile = max(1, tile_samples // spp)
+    n_pix = film.nx * film.ny
+    n_tiles = (n_pix + pix_per_tile - 1) // pix_per_tile
+
+    @jax.jit
+    def render_tile(pix_ids, state_xyz, state_w):
+        pix_x = (pix_ids % film.nx) + film.x0
+        pix_y = (pix_ids // film.nx) + film.y0
+        cs = camera_samples(sampler, pix_x, pix_y, film.xres, seed)
+        ray, rw = camera.generate_rays(cs.px, cs.py, cs.u_lens1, cs.u_lens2, cs.u_time)
+        sidx = jnp.tile(jnp.arange(spp, dtype=jnp.int32), pix_ids.shape[0])
+        L = li_fn(ray, cs.pixel, sidx, seed)
+        L = jnp.nan_to_num(L, nan=0.0, posinf=0.0, neginf=0.0)  # reference
+        # samplerrenderer.cpp:119-133 black-pixel fallback for NaN/inf
+        st = film_mod.FilmState(xyz=state_xyz, weight=state_w,
+                                splat=jnp.zeros((1, 1, 3), jnp.float32))
+        st = film_mod.add_samples(film, st, cs.px, cs.py, L, rw)
+        return st.xyz, st.weight
+
+    state = film_mod.init_state(film)
+    xyz, w = state.xyz, state.weight
+    t_start = _time.time()
+    all_ids = np.arange(n_pix, dtype=np.int32)
+    for ti in range(n_tiles):
+        ids = all_ids[ti * pix_per_tile: (ti + 1) * pix_per_tile]
+        if len(ids) < pix_per_tile:  # pad to keep one compiled shape
+            ids = np.concatenate([ids, np.full(pix_per_tile - len(ids), ids[-1] if len(ids) else 0, np.int32)])
+            # duplicate deposits on the padded pixel are normalized out by
+            # the matching weight accumulation
+        xyz, w = render_tile(jnp.asarray(ids), xyz, w)
+        progress("Rendering", ti + 1, n_tiles, t_start)
+    state = film_mod.FilmState(xyz=xyz, weight=w, splat=state.splat)
+
+    rgb = film_mod.write_image(film, state) if options.get("write", True) else film_mod.to_rgb(film, state)
+    info(f"render finished in {_time.time() - t_start:.2f}s "
+         f"({n_pix * spp / max(_time.time() - t_start, 1e-9):.0f} samples/s)")
+    return rgb

@@ -144,13 +144,17 @@ def build_volumes(records: List[VolumeRecord]) -> Optional[VolumeT]:
 # Device-side evaluation (all [P]-batched over sample points)
 
 def _density(vol: VolumeT, vi: int, pv):
-    """Density multiplier of region vi at volume-space points pv [P, 3]."""
-    kind = int(vol.kind[vi])
+    """Density multiplier of region vi at volume-space points pv [P, 3].
+
+    kind/grid_dims are indexed on the HOST (np.asarray of the concrete
+    table) so the per-region branch stays static under jit.
+    """
+    kind = int(np.asarray(vol.kind)[vi])
     lo, hi = vol.lo[vi], vol.hi[vi]
     inside = jnp.all((pv >= lo) & (pv <= hi), axis=-1)
     if kind == V_GRID:
-        nx, ny, nz = (int(vol.grid_dims[vi, 0]), int(vol.grid_dims[vi, 1]),
-                      int(vol.grid_dims[vi, 2]))
+        dims = np.asarray(vol.grid_dims)
+        nx, ny, nz = int(dims[vi, 0]), int(dims[vi, 1]), int(dims[vi, 2])
         ext = jnp.maximum(hi - lo, 1e-12)
         # grid coords with trilinear interp (reference volumegrid.cpp Density)
         gp = (pv - lo) / ext * jnp.asarray([nx, ny, nz], jnp.float32) - 0.5

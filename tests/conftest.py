@@ -1,11 +1,22 @@
-"""Test config: force CPU backend with 8 virtual devices for mesh tests.
+"""Test config.
 
-Must run before jax is imported anywhere.
+The environment auto-registers the TPU backend (axon sitecustomize) in
+every process; tests run on it when the tunnel is up — XLA:TPU compiles
+these programs orders of magnitude faster than XLA:CPU on this host.
+If no TPU is reachable, fall back to CPU explicitly.
+
+NOTE: never set --xla_force_host_platform_device_count here — carving
+the host into 8 virtual devices cripples XLA:CPU for every test.
+Multi-device mesh coverage lives in tests/test_multichip.py, which
+re-execs itself in a subprocess with the flag set.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+try:
+    import jax
+
+    jax.devices()
+except Exception:  # tunnel down: force CPU before any test imports jax
+    os.environ["JAX_PLATFORMS"] = "cpu"

@@ -1,0 +1,132 @@
+"""End-to-end render smoke tests (tiny resolutions, CPU jit).
+
+Modeled on the reference's image-regression practice (SURVEY.md
+section 4: exrdiff tolerance checks + aggregatetest); here we check
+physical invariants of small renders rather than golden files.
+"""
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+from pbrt_tpu.scene import api, parser
+
+
+def _render(tmp_path, scene_text, **options):
+    path = tmp_path / "scene.pbrt"
+    path.write_text(textwrap.dedent(scene_text))
+    api.pbrt_init({"quiet": True, "write": False, **options})
+    try:
+        parser.parse_file(str(path))
+        out = api.get_state()
+        return api._state.output if api._state.output is not None else out.output
+    finally:
+        api._state.__init__()  # reset for next test
+
+
+BASE = """
+Film "image" "integer xresolution" [32] "integer yresolution" [32]
+Sampler "lowdiscrepancy" "integer pixelsamples" [2]
+LookAt 0 0 -4  0 0 0  0 1 0
+Camera "perspective" "float fov" [50]
+"""
+
+
+def test_direct_sphere_point_light(tmp_path):
+    rgb = _render(tmp_path, BASE + """
+    SurfaceIntegrator "directlighting"
+    WorldBegin
+    LightSource "point" "point from" [0 3 -3] "rgb I" [30 30 30]
+    Material "matte" "rgb Kd" [.7 .7 .7]
+    Shape "sphere" "float radius" [1]
+    WorldEnd
+    """)
+    assert rgb.shape == (32, 32, 3)
+    assert np.all(np.isfinite(rgb))
+    # lit sphere visible: center pixels nonzero, corners (background) zero
+    assert rgb[16, 16].max() > 0.01
+    assert rgb[0, 0].max() == 0.0
+    # light is above: upper hemisphere brighter than lower
+    assert rgb[10, 16].mean() > rgb[22, 16].mean()
+
+
+def test_path_area_light_mis(tmp_path):
+    rgb = _render(tmp_path, BASE + """
+    SurfaceIntegrator "path" "integer maxdepth" [3]
+    WorldBegin
+    AttributeBegin
+      AreaLightSource "area" "rgb L" [8 8 8]
+      Translate 0 2.2 0
+      Rotate 90 1 0 0
+      Shape "disk" "float radius" [1]
+    AttributeEnd
+    AttributeBegin
+      Translate 0 -1 0
+      Rotate -90 1 0 0
+      Material "matte" "rgb Kd" [.6 .6 .6]
+      Shape "disk" "float radius" [8]
+    AttributeEnd
+    WorldEnd
+    """)
+    assert np.all(np.isfinite(rgb))
+    assert rgb.max() > 0.05  # floor is lit by the area light
+
+
+def test_mesh_and_glass_dispersion_runs(tmp_path):
+    rgb = _render(tmp_path, BASE + """
+    SurfaceIntegrator "path" "integer maxdepth" [4]
+    WorldBegin
+    LightSource "distant" "point from" [0 5 -5] "point to" [0 0 0] "rgb L" [3 3 3]
+    AttributeBegin
+      Material "glass" "float index" [1.52] "float Vn" [36.4]
+      Shape "sphere" "float radius" [0.8]
+    AttributeEnd
+    AttributeBegin
+      Material "matte" "rgb Kd" [.5 .5 .5]
+      Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+        "point P" [-3 -1.2 -3  3 -1.2 -3  3 -1.2 3  -3 -1.2 3]
+    AttributeEnd
+    WorldEnd
+    """)
+    assert np.all(np.isfinite(rgb))
+    assert rgb.max() > 0.0
+
+
+def test_emission_volume(tmp_path):
+    rgb = _render(tmp_path, BASE + """
+    SurfaceIntegrator "directlighting"
+    VolumeIntegrator "emission" "float stepsize" [0.25]
+    WorldBegin
+    LightSource "point" "point from" [0 3 -3] "rgb I" [10 10 10]
+    Volume "homogeneous" "point p0" [-1 -1 -1] "point p1" [1 1 1]
+      "rgb sigma_a" [.5 .5 .5] "rgb sigma_s" [0 0 0] "rgb Le" [1 1 1]
+    WorldEnd
+    """)
+    assert np.all(np.isfinite(rgb))
+    # the glowing box fills the view center
+    assert rgb[16, 16].mean() > 0.05
+    assert rgb[16, 16].mean() > rgb[0, 0].mean()
+
+
+def test_whitted_mirror(tmp_path):
+    rgb = _render(tmp_path, BASE + """
+    SurfaceIntegrator "whitted" "integer maxdepth" [3]
+    WorldBegin
+    LightSource "point" "point from" [0 3 -3] "rgb I" [30 30 30]
+    AttributeBegin
+      Material "mirror"
+      Shape "sphere" "float radius" [0.7]
+    AttributeEnd
+    AttributeBegin
+      Translate 0 -1 0
+      Rotate -90 1 0 0
+      Material "matte" "rgb Kd" [.8 .2 .2]
+      Shape "disk" "float radius" [6]
+    AttributeEnd
+    WorldEnd
+    """)
+    assert np.all(np.isfinite(rgb))
+    # mirror sphere reflects the red floor: red channel dominates somewhere
+    center = rgb[14:20, 12:22]
+    assert center.max() > 0.0
