@@ -370,6 +370,18 @@ def build_bvh(geom: SceneGeom, split_method: str = "sah") -> Optional[BVH]:
     n = len(lo)
     if n == 0:
         return None
+    # native C++ builder first (pbrt_tpu/native/bvh_builder.cpp);
+    # the pure-Python builders below are the portable fallback
+    from pbrt_tpu.native import native_build_bvh
+
+    nat = native_build_bvh(lo, hi, split_method)
+    if nat is not None:
+        node_lo, node_hi, meta, order = nat
+        info(f"BVH[native]: {len(meta)} nodes over {n} prims ({split_method})")
+        return BVH(
+            node_lo=jnp.asarray(node_lo), node_hi=jnp.asarray(node_hi),
+            node_meta=jnp.asarray(meta), prim_ids=jnp.asarray(order),
+        )
     if split_method == "aac":
         wl = np.asarray(geom.world_lo)
         wh = np.asarray(geom.world_hi)
@@ -517,25 +529,53 @@ def t_pass_bvh(bvh: BVH, geom: SceneGeom, ray: Ray, any_hit: bool = False):
 
 
 class BvhScene(NamedTuple):
-    """Geometry + its BVH; drop-in for the intersect API."""
+    """Geometry + acceleration: BVH for big scenes, Pallas blocked
+    brute-force for the rest (on TPU the [rays x tris] VPU sweep beats
+    pointer-chasing traversal far past pbrt's leaf sizes)."""
 
     geom: SceneGeom
     bvh: Optional[BVH]
+    tri_soa: object = None   # ops.intersect_pallas.TriSoA when on TPU
+
+    def _t_pass(self, ray: Ray, any_hit: bool = False):
+        if self.bvh is not None:
+            return t_pass_bvh(self.bvh, self.geom, ray, any_hit=any_hit)
+        if self.tri_soa is not None:
+            from pbrt_tpu.accel.intersect import _quad_t_pass
+            from pbrt_tpu.ops.intersect_pallas import tri_t_pass_pallas
+
+            t, prim = tri_t_pass_pallas(self.tri_soa, ray.o, ray.d,
+                                        ray.tmin, ray.tmax)
+            if self.geom.n_quads > 0:
+                t, prim = _quad_t_pass(self.geom, ray, t, prim)
+            return t, prim
+        from pbrt_tpu.accel.intersect import t_pass_brute
+
+        return t_pass_brute(self.geom, ray)
 
     def intersect(self, ray: Ray):
-        if self.bvh is None:
-            from pbrt_tpu.accel.intersect import t_pass_brute
-
-            t, prim = t_pass_brute(self.geom, ray)
-        else:
-            t, prim = t_pass_bvh(self.bvh, self.geom, ray)
+        t, prim = self._t_pass(ray)
         return reconstruct(self.geom, ray, t, prim)
 
     def intersect_p(self, ray: Ray):
-        if self.bvh is None:
-            from pbrt_tpu.accel.intersect import t_pass_brute
-
-            _, prim = t_pass_brute(self.geom, ray)
-        else:
-            _, prim = t_pass_bvh(self.bvh, self.geom, ray, any_hit=True)
+        _, prim = self._t_pass(ray, any_hit=True)
         return prim >= 0
+
+
+def make_accel(geom: SceneGeom, split_method: str = "sah",
+               bvh_threshold: int = 32768, force: str = "") -> BvhScene:
+    """Pick the acceleration strategy for a compiled scene."""
+    n_prims = geom.n_tris + geom.n_quads
+    tri_soa = None
+    bvh = None
+    use_bvh = force == "bvh" or (force != "flat" and n_prims > bvh_threshold)
+    if use_bvh and n_prims > 0:
+        bvh = build_bvh(geom, split_method)
+    else:
+        from pbrt_tpu.ops.intersect_pallas import pallas_available
+
+        if pallas_available() and geom.n_tris > 0:
+            from pbrt_tpu.ops.intersect_pallas import TriSoA
+
+            tri_soa = TriSoA(geom.tri_v0, geom.tri_e1, geom.tri_e2)
+    return BvhScene(geom=geom, bvh=bvh, tri_soa=tri_soa)

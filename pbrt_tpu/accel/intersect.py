@@ -268,6 +268,27 @@ def _round_up(n, m):
     return (n + m - 1) // m * m
 
 
+def _quad_t_pass(geom: SceneGeom, ray: Ray, t_best, prim_best):
+    """Fold the (few) quadrics into an existing (t, prim) accumulator.
+    prim ids for quadric q are geom.n_tris + q."""
+    T = geom.n_tris
+    t_best = jnp.where(prim_best >= 0, t_best,
+                       jnp.where(jnp.isfinite(ray.tmax), ray.tmax, BIG))
+    o_obj = xform_point_affine(geom.quad_w2o[None], ray.o[:, None])
+    d_obj = xform_vector(geom.quad_w2o[None], ray.d[:, None])
+    t, valid = _quad_candidates(
+        geom.quad_type[None], geom.quad_params[None], o_obj, d_obj,
+        ray.tmin[:, None], t_best[:, None],
+    )
+    t = jnp.where(valid, t, BIG)
+    idx = jnp.argmin(t, axis=-1)
+    tmin_q = jnp.take_along_axis(t, idx[:, None], axis=-1)[:, 0]
+    better = tmin_q < t_best
+    t_out = jnp.where(better, tmin_q, t_best)
+    prim_out = jnp.where(better, T + idx.astype(jnp.int32), prim_best)
+    return jnp.where(prim_out >= 0, t_out, BIG), prim_out
+
+
 def t_pass_brute(geom: SceneGeom, ray: Ray, block: int = 512):
     """[R] rays vs all prims. Returns (t [R], prim [R] int32)."""
     R = ray.o.shape[0]

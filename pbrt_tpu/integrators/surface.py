@@ -55,6 +55,13 @@ BIG = 1e30
 RAY_EPS = 1e-3
 
 
+def shading_frame(scene, hit: Hit) -> Frame:
+    """make_frame + bump mapping when the scene uses bump textures."""
+    from pbrt_tpu.scene.compile import eval_bump
+
+    return eval_bump(scene, hit, make_frame(hit))
+
+
 def make_frame(hit: Hit) -> Frame:
     ss = normalize(hit.dpdu)
     # re-orthogonalize against ns
@@ -228,7 +235,7 @@ def _li_path_impl(scene: CompiledScene, ray: Ray, u_fn, max_depth: int,
 
         params = eval_bsdf_params(scene, hit)
         lobes = material_lobes(params)
-        frame = make_frame(hit)
+        frame = shading_frame(scene, hit)
         wo = -normalize(st.ray_d)
 
         # direct lighting at non-specular vertices
@@ -337,7 +344,7 @@ def _li_direct_or_whitted(scene, ray, pixel, sidx, max_depth, seed, strategy,
             break
         params = eval_bsdf_params(scene, hit)
         lobes = material_lobes(params)
-        frame = make_frame(hit)
+        frame = shading_frame(scene, hit)
         wo = -normalize(st.ray_d)
 
         n_lights = scene.n_lights

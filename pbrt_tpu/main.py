@@ -22,6 +22,8 @@ def main(argv=None):
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--checkpoint", default="",
+                    help="film checkpoint file for crash-resumable renders")
     args = ap.parse_args(argv)
 
     options = {
@@ -31,6 +33,7 @@ def main(argv=None):
         "quiet": args.quiet,
         "verbose": args.verbose,
         "seed": args.seed,
+        "checkpoint": args.checkpoint or None,
     }
 
     from pbrt_tpu.core.error import PbrtError

@@ -18,7 +18,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from pbrt_tpu.core import spectrum as spec
+from pbrt_tpu.core import probes, spectrum as spec
 from pbrt_tpu.core.error import info, progress, warning
 from pbrt_tpu.core.geometry import Ray
 from pbrt_tpu.accel.intersect import intersect
@@ -109,6 +109,52 @@ def build_li_fn(scene: CompiledScene, ro: RenderOptions, options: dict):
 
         photon_ctx = build_photon_maps(scene, sp, vp, options)
 
+    vpls = None
+    if sname == "igi":
+        from pbrt_tpu.integrators.extra import generate_vpls
+
+        n_sets = sp.find_one_int("nsets", 4)
+        n_lights_igi = sp.find_one_int("nlights", 64)
+        if quick:
+            n_lights_igi = max(4, n_lights_igi // 8)
+        vpls = generate_vpls(scene, n_sets, max(1, n_lights_igi // 4),
+                             sp.find_one_int("maxdepth", 5),
+                             int(options.get("seed", 0)))
+
+    sss_ctx = None
+    if sname == "dipolesubsurface":
+        from pbrt_tpu.integrators.extra import (
+            SurfacePoints,
+            compute_point_irradiance,
+        )
+        from pbrt_tpu.renderers.surfacepoints import generate_surface_points
+
+        mind = sp.find_one_float("minsampledistance", 0.25)
+        pfile = sp.find_one_string("pointsfile", "")
+        if pfile:
+            import numpy as _np
+
+            z = _np.load(pfile)
+            p_, n_, a_ = z["p"], z["n"], z["area"]
+        else:
+            p_, n_, a_ = generate_surface_points(scene, mind,
+                                                 int(options.get("seed", 0)))
+        pts = SurfacePoints(p=jnp.asarray(p_), n=jnp.asarray(n_),
+                            area=jnp.asarray(a_),
+                            E=jnp.zeros((len(p_), S), jnp.float32))
+        sss_ctx = compute_point_irradiance(scene, pts,
+                                           int(options.get("seed", 0)))
+
+    probe_grid = None
+    if sname == "useprobes":
+        from pbrt_tpu.renderers.createprobes import load_probes
+
+        pfn = sp.find_one_string("filename", "probes.npz")
+        try:
+            probe_grid = load_probes(pfn)
+        except OSError as e:
+            warning(f"useprobes: cannot load {pfn}: {e}")
+
     def surface_li(ray, pixel, sidx, seed):
         if sname in ("photonmap", "exphotonmap"):
             from pbrt_tpu.integrators.photonmap import li_photonmap
@@ -129,6 +175,52 @@ def build_li_fn(scene: CompiledScene, ro: RenderOptions, options: dict):
             md = sp.find_one_float("maxdist", BIG)
             return surf_int.li_ao(scene, ray, pixel, sidx,
                                   n_samples=min(ns, 64), max_dist=md, seed=seed)
+        if sname == "igi":
+            from pbrt_tpu.integrators.extra import li_igi
+
+            return li_igi(scene, vpls, ray, pixel, sidx, max_depth=max_depth,
+                          g_limit=sp.find_one_float("glimit", 10.0),
+                          seed=seed, transmittance_fn=trans_fn)
+        if sname == "irradiancecache":
+            from pbrt_tpu.integrators.extra import li_irradiance
+
+            ns = sp.find_one_int("nsamples", 4096)
+            return li_irradiance(scene, ray, pixel, sidx,
+                                 n_samples=min(max(ns // 256, 4), 32),
+                                 seed=seed, transmittance_fn=trans_fn)
+        if sname == "dipolesubsurface":
+            from pbrt_tpu.integrators.extra import li_dipole
+
+            import numpy as _np
+
+            sig_a = spec.from_rgb(_np.asarray([0.0011, 0.0024, 0.014], _np.float32))
+            sig_ps = spec.from_rgb(_np.asarray([2.55, 3.21, 3.77], _np.float32))
+            for m in scene.materials:
+                if m.kind in ("subsurface", "kdsubsurface") and "sigma_a" in m.spectra:
+                    sig_a = m.spectra["sigma_a"]
+                    sig_ps = m.spectra["sigma_prime_s"]
+                    break
+            return li_dipole(scene, sss_ctx, ray, pixel, sidx,
+                             sigma_a=sig_a, sigma_ps=sig_ps,
+                             scale=sp.find_one_float("scale", 1.0),
+                             seed=seed, transmittance_fn=trans_fn)
+        if sname == "diffuseprt":
+            from pbrt_tpu.integrators.extra import li_diffuseprt
+
+            return li_diffuseprt(scene, ray, pixel, sidx,
+                                 lmax=sp.find_one_int("lmax", 4),
+                                 n_samples=8 if quick else 16, seed=seed)
+        if sname == "glossyprt":
+            from pbrt_tpu.integrators.extra import li_glossyprt
+
+            return li_glossyprt(scene, ray, pixel, sidx,
+                                lmax=sp.find_one_int("lmax", 4),
+                                roughness=sp.find_one_float("roughness", 0.1),
+                                seed=seed)
+        if sname == "useprobes":
+            from pbrt_tpu.integrators.extra import li_useprobes
+
+            return li_useprobes(scene, probe_grid, ray, pixel, sidx, seed=seed)
         if sname != "path":
             warning(f'SurfaceIntegrator "{sname}" not yet TPU-lowered; using "path".')
         return surf_int.li_path(scene, ray, pixel, sidx, max_depth=max_depth,
@@ -186,6 +278,21 @@ def render_sampler(scene: CompiledScene, ro: RenderOptions, film, camera,
     # Wavefront tile: cap the per-launch sample count to bound memory.
     tile_samples = int(options.get("tile_samples", 1 << 16))
     pix_per_tile = max(1, tile_samples // spp)
+
+    # Device mesh: shard the tile's pixel axis; scene tensors replicate,
+    # the film accumulator stays replicated (XLA inserts the psum for the
+    # scatter-adds) — the pthread-pool analog per SURVEY.md section 2.4.
+    devs = jax.devices()
+    n_dev = int(options.get("nCores") or 0) or len(devs)
+    n_dev = max(1, min(n_dev, len(devs)))
+    sharding = None
+    if n_dev > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.array(devs[:n_dev]), ("rays",))
+        sharding = NamedSharding(mesh, P("rays"))
+        pix_per_tile = max(n_dev, (pix_per_tile // n_dev) * n_dev)
+        info(f"sharding render tiles over {n_dev} devices")
     n_pix = film.nx * film.ny
     n_tiles = (n_pix + pix_per_tile - 1) // pix_per_tile
 
@@ -204,17 +311,45 @@ def render_sampler(scene: CompiledScene, ro: RenderOptions, film, camera,
         st = film_mod.add_samples(film, st, cs.px, cs.py, L, rw)
         return st.xyz, st.weight
 
+    # checkpoint/resume of the film accumulator (the reference has no
+    # checkpointing, SURVEY.md section 5; the film + photon maps are the
+    # natural persistent state)
+    ckpt_path = options.get("checkpoint")
+    ckpt_every = int(options.get("checkpoint_every", 64))
+    start_tile = 0
     state = film_mod.init_state(film)
     xyz, w = state.xyz, state.weight
+    if ckpt_path:
+        import os as _os
+
+        if _os.path.exists(ckpt_path):
+            z = np.load(ckpt_path)
+            if (tuple(z["shape"]) == (film.ny, film.nx)
+                    and int(z["spp"]) == spp and int(z["seed"]) == seed):
+                xyz = jnp.asarray(z["xyz"])
+                w = jnp.asarray(z["weight"])
+                start_tile = int(z["tile"])
+                info(f"resuming render from checkpoint tile {start_tile}/{n_tiles}")
+            else:
+                warning("checkpoint incompatible with this render; ignoring")
     t_start = _time.time()
     all_ids = np.arange(n_pix, dtype=np.int32)
-    for ti in range(n_tiles):
+    for ti in range(start_tile, n_tiles):
         ids = all_ids[ti * pix_per_tile: (ti + 1) * pix_per_tile]
         if len(ids) < pix_per_tile:  # pad to keep one compiled shape
             ids = np.concatenate([ids, np.full(pix_per_tile - len(ids), ids[-1] if len(ids) else 0, np.int32)])
             # duplicate deposits on the padded pixel are normalized out by
             # the matching weight accumulation
-        xyz, w = render_tile(jnp.asarray(ids), xyz, w)
+        ids_dev = jnp.asarray(ids)
+        if sharding is not None:
+            ids_dev = jax.device_put(ids_dev, sharding)
+        xyz, w = render_tile(ids_dev, xyz, w)
+        probes.count("render/tiles")
+        probes.count("render/camera_samples",
+                     min(pix_per_tile, n_pix - ti * pix_per_tile) * spp)
+        if ckpt_path and (ti + 1) % ckpt_every == 0 and ti + 1 < n_tiles:
+            np.savez(ckpt_path, xyz=np.asarray(xyz), weight=np.asarray(w),
+                     tile=ti + 1, shape=(film.ny, film.nx), spp=spp, seed=seed)
         progress("Rendering", ti + 1, n_tiles, t_start)
     state = film_mod.FilmState(xyz=xyz, weight=w, splat=state.splat)
 

@@ -498,10 +498,13 @@ def pbrt_world_end(render: bool = True):
         _state.pushed_active_bits.pop()
     result = None
     if render:
+        from pbrt_tpu.core import probes
         from pbrt_tpu.renderers.driver import render_scene
 
         result = render_scene(_state.render_options, _state.options)
         _state.output = result
+        if _state.options.get("verbose"):
+            probes.print_counters()  # reference api.cpp:1186 ProbesPrint
     _state.state = STATE_OPTIONS_BLOCK
     _state.graphics_state = GraphicsState()
     _state.cur_transform = TransformSet()

@@ -232,9 +232,8 @@ def compile_scene(ro: RenderOptions, accel_threshold: int = 64) -> CompiledScene
          f"{0 if lights is None else int(lights.kind.shape[0])} lights, "
          f"{len(materials)} materials")
 
-    from pbrt_tpu.accel.bvh import BvhScene, build_bvh
+    from pbrt_tpu.accel.bvh import make_accel
 
-    n_prims = len(TV0) + len(quads)
     accel_name = ro.accelerator_name
     split = ro.accelerator_params.find_one_string("splitmethod", "sah")
     if accel_name not in ("bvh", "grid", "kdtree", "none"):
@@ -244,10 +243,7 @@ def compile_scene(ro: RenderOptions, accel_threshold: int = 64) -> CompiledScene
         # both lower to the BVH on TPU: the traversal loop is the same
         # wavefront pattern and the build is host-side either way
         split = "sah"
-    bvh = None
-    if accel_name != "none" and n_prims > accel_threshold:
-        bvh = build_bvh(geom, split)
-    accel = BvhScene(geom=geom, bvh=bvh)
+    accel = make_accel(geom, split, force="flat" if accel_name == "none" else "")
     return CompiledScene(
         geom=geom, lights=lights, envs=envs, light_dist=light_dist,
         materials=materials, material_dispersive=jnp.asarray(disp),
@@ -569,3 +565,46 @@ def _lower_material(mat: MaterialRecord, sg: ShadingGeom, H: int) -> BsdfParams:
         kd=kd, ks=ks, kr=kr, kt=kt, opacity=opacity,
         rough_u=rough_u, rough_v=rough_v, eta=eta, vn=vn, sigma=sigma,
     )
+
+
+def eval_bump(scene: CompiledScene, hit, frame):
+    """Bump-mapped shading normal (reference core/material.cpp Bump):
+    displace p along dpdu/dpdv by the bump texture's finite differences
+    and rebuild ns. No-op when no material carries a bumpmap."""
+    if not any(m.textures.get("bumpmap") is not None for m in scene.materials):
+        return frame
+    H = hit.p.shape[0]
+    du = 0.5 * (jnp.abs(hit.uv[:, 0]) + 1e-3)
+    dv = 0.5 * (jnp.abs(hit.uv[:, 1]) + 1e-3)
+    dpdv = jnp.cross(hit.ns, hit.dpdu)
+    disp = jnp.zeros((H,), jnp.float32)
+    disp_u = jnp.zeros((H,), jnp.float32)
+    disp_v = jnp.zeros((H,), jnp.float32)
+    for mi, mat in enumerate(scene.materials):
+        tex = mat.textures.get("bumpmap")
+        if tex is None:
+            continue
+        sel = hit.mat == mi
+        sg0 = ShadingGeom.at(hit.p, hit.uv)
+        sgu = ShadingGeom.at(hit.p + du[:, None] * hit.dpdu,
+                             hit.uv + jnp.stack([du, jnp.zeros_like(du)], -1))
+        sgv = ShadingGeom.at(hit.p + dv[:, None] * dpdv,
+                             hit.uv + jnp.stack([jnp.zeros_like(dv), dv], -1))
+        d0 = jnp.broadcast_to(jnp.asarray(tex.eval(sg0), jnp.float32), (H,))
+        du_ = jnp.broadcast_to(jnp.asarray(tex.eval(sgu), jnp.float32), (H,))
+        dv_ = jnp.broadcast_to(jnp.asarray(tex.eval(sgv), jnp.float32), (H,))
+        disp = jnp.where(sel, d0, disp)
+        disp_u = jnp.where(sel, du_, disp_u)
+        disp_v = jnp.where(sel, dv_, disp_v)
+    from pbrt_tpu.core.geometry import normalize as _norm
+
+    dddu = (disp_u - disp) / jnp.maximum(du, 1e-6)
+    dddv = (disp_v - disp) / jnp.maximum(dv, 1e-6)
+    dpdu_b = hit.dpdu + dddu[:, None] * hit.ns
+    dpdv_b = dpdv + dddv[:, None] * hit.ns
+    ns = _norm(jnp.cross(dpdu_b, dpdv_b))
+    # keep orientation consistent with the original shading normal
+    ns = jnp.where((jnp.sum(ns * hit.ns, -1) < 0)[:, None], -ns, ns)
+    ss = _norm(dpdu_b - ns * jnp.sum(dpdu_b * ns, -1, keepdims=True))
+    ts = jnp.cross(ns, ss)
+    return frame._replace(ss=ss, ts=ts, ns=ns)
