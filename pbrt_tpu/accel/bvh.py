@@ -428,7 +428,9 @@ def _leaf_prims_t(geom: SceneGeom, prim_ids, o, d, tmin, tmax):
         w2o = geom.quad_w2o[q_idx]
         oo = xform_point_affine(w2o, o[:, None])
         od = xform_vector(w2o, d[:, None])
-        t, v = _quad_candidates(qt, qp, oo, od, tmin[:, None], tmax[:, None])
+        present = set(int(x) for x in np.asarray(geom.quad_type))
+        t, v = _quad_candidates(qt, qp, oo, od, tmin[:, None], tmax[:, None],
+                                present=present)
         is_q = prim_ids >= T
         tb = jnp.where(is_q & v, t, tb)
         vb = vb | (is_q & v)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -109,9 +110,13 @@ def _tri_t(v0, e1, e2, o, d, tmin, tmax):
 # ---------------------------------------------------------------------------
 # Quadric candidate t (object space, both roots, range-clipped)
 
-def _quad_candidates(qtype, params, o, d, tmin, tmax):
+def _quad_candidates(qtype, params, o, d, tmin, tmax, present=None):
     """All-types quadric intersection. Shapes broadcast: qtype [...],
-    params [..., 8], o/d [..., 3] (already object space). Returns (t, valid)."""
+    params [..., 8], o/d [..., 3] (already object space). Returns (t, valid).
+
+    present: optional static set of quadric type ids in the scene —
+    branches for absent types are elided at trace time (the scene's
+    type table is concrete, so this is free specialization)."""
     r = params[..., 0]
     zmin = params[..., 1]
     zmax = params[..., 2]
@@ -122,12 +127,20 @@ def _quad_candidates(qtype, params, o, d, tmin, tmax):
     ox, oy, oz = o[..., 0], o[..., 1], o[..., 2]
     dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
 
-    is_sph = qtype == QUAD_SPHERE
-    is_cyl = qtype == QUAD_CYLINDER
-    is_disk = qtype == QUAD_DISK
-    is_cone = qtype == QUAD_CONE
-    is_par = qtype == QUAD_PARABOLOID
-    is_hyp = qtype == QUAD_HYPERBOLOID
+    def has(t):
+        return present is None or t in present
+
+    zero = jnp.zeros_like(ox)
+    false = jnp.zeros(ox.shape, bool)
+    is_sph = (qtype == QUAD_SPHERE) if has(QUAD_SPHERE) else false
+    is_cyl = (qtype == QUAD_CYLINDER) if has(QUAD_CYLINDER) else false
+    is_disk = (qtype == QUAD_DISK) if has(QUAD_DISK) else false
+    is_cone = (qtype == QUAD_CONE) if has(QUAD_CONE) else false
+    is_par = (qtype == QUAD_PARABOLOID) if has(QUAD_PARABOLOID) else false
+    is_hyp = (qtype == QUAD_HYPERBOLOID) if has(QUAD_HYPERBOLOID) else false
+
+    def term(mask_static, val):
+        return val if mask_static else zero
 
     # quadratic coefficients per type
     k_cone = (r / jnp.maximum(p4, 1e-12)) ** 2  # p4 = height
@@ -135,25 +148,25 @@ def _quad_candidates(qtype, params, o, d, tmin, tmax):
     a_h, c_h = p4, p5
 
     A = (
-        jnp.where(is_sph, dx * dx + dy * dy + dz * dz, 0.0)
-        + jnp.where(is_cyl, dx * dx + dy * dy, 0.0)
-        + jnp.where(is_cone, dx * dx + dy * dy - k_cone * dz * dz, 0.0)
-        + jnp.where(is_par, k_par * (dx * dx + dy * dy), 0.0)
-        + jnp.where(is_hyp, a_h * (dx * dx + dy * dy) - c_h * dz * dz, 0.0)
+        term(has(QUAD_SPHERE), jnp.where(is_sph, dx * dx + dy * dy + dz * dz, 0.0))
+        + term(has(QUAD_CYLINDER), jnp.where(is_cyl, dx * dx + dy * dy, 0.0))
+        + term(has(QUAD_CONE), jnp.where(is_cone, dx * dx + dy * dy - k_cone * dz * dz, 0.0))
+        + term(has(QUAD_PARABOLOID), jnp.where(is_par, k_par * (dx * dx + dy * dy), 0.0))
+        + term(has(QUAD_HYPERBOLOID), jnp.where(is_hyp, a_h * (dx * dx + dy * dy) - c_h * dz * dz, 0.0))
     )
     B = (
-        jnp.where(is_sph, 2.0 * (ox * dx + oy * dy + oz * dz), 0.0)
-        + jnp.where(is_cyl, 2.0 * (ox * dx + oy * dy), 0.0)
-        + jnp.where(is_cone, 2.0 * (ox * dx + oy * dy - k_cone * dz * (oz - p4)), 0.0)
-        + jnp.where(is_par, 2.0 * k_par * (ox * dx + oy * dy) - dz, 0.0)
-        + jnp.where(is_hyp, 2.0 * (a_h * (ox * dx + oy * dy) - c_h * oz * dz), 0.0)
+        term(has(QUAD_SPHERE), jnp.where(is_sph, 2.0 * (ox * dx + oy * dy + oz * dz), 0.0))
+        + term(has(QUAD_CYLINDER), jnp.where(is_cyl, 2.0 * (ox * dx + oy * dy), 0.0))
+        + term(has(QUAD_CONE), jnp.where(is_cone, 2.0 * (ox * dx + oy * dy - k_cone * dz * (oz - p4)), 0.0))
+        + term(has(QUAD_PARABOLOID), jnp.where(is_par, 2.0 * k_par * (ox * dx + oy * dy) - dz, 0.0))
+        + term(has(QUAD_HYPERBOLOID), jnp.where(is_hyp, 2.0 * (a_h * (ox * dx + oy * dy) - c_h * oz * dz), 0.0))
     )
     C = (
-        jnp.where(is_sph, ox * ox + oy * oy + oz * oz - r * r, 0.0)
-        + jnp.where(is_cyl, ox * ox + oy * oy - r * r, 0.0)
-        + jnp.where(is_cone, ox * ox + oy * oy - k_cone * (oz - p4) * (oz - p4), 0.0)
-        + jnp.where(is_par, k_par * (ox * ox + oy * oy) - oz, 0.0)
-        + jnp.where(is_hyp, a_h * (ox * ox + oy * oy) - c_h * oz * oz - 1.0, 0.0)
+        term(has(QUAD_SPHERE), jnp.where(is_sph, ox * ox + oy * oy + oz * oz - r * r, 0.0))
+        + term(has(QUAD_CYLINDER), jnp.where(is_cyl, ox * ox + oy * oy - r * r, 0.0))
+        + term(has(QUAD_CONE), jnp.where(is_cone, ox * ox + oy * oy - k_cone * (oz - p4) * (oz - p4), 0.0))
+        + term(has(QUAD_PARABOLOID), jnp.where(is_par, k_par * (ox * ox + oy * oy) - oz, 0.0))
+        + term(has(QUAD_HYPERBOLOID), jnp.where(is_hyp, a_h * (ox * ox + oy * oy) - c_h * oz * oz - 1.0, 0.0))
     )
 
     disc = B * B - 4.0 * A * C
@@ -276,9 +289,10 @@ def _quad_t_pass(geom: SceneGeom, ray: Ray, t_best, prim_best):
                        jnp.where(jnp.isfinite(ray.tmax), ray.tmax, BIG))
     o_obj = xform_point_affine(geom.quad_w2o[None], ray.o[:, None])
     d_obj = xform_vector(geom.quad_w2o[None], ray.d[:, None])
+    present = set(int(x) for x in np.asarray(geom.quad_type))
     t, valid = _quad_candidates(
         geom.quad_type[None], geom.quad_params[None], o_obj, d_obj,
-        ray.tmin[:, None], t_best[:, None],
+        ray.tmin[:, None], t_best[:, None], present=present,
     )
     t = jnp.where(valid, t, BIG)
     idx = jnp.argmin(t, axis=-1)
@@ -329,9 +343,10 @@ def t_pass_brute(geom: SceneGeom, ray: Ray, block: int = 512):
         # quadrics are few; single block
         o_obj = xform_point_affine(geom.quad_w2o[None], ray.o[:, None])  # [R,Q,3]
         d_obj = xform_vector(geom.quad_w2o[None], ray.d[:, None])
+        present = set(int(x) for x in np.asarray(geom.quad_type))
         t, valid = _quad_candidates(
             geom.quad_type[None], geom.quad_params[None], o_obj, d_obj,
-            ray.tmin[:, None], t_best[:, None],
+            ray.tmin[:, None], t_best[:, None], present=present,
         )
         t = jnp.where(valid, t, BIG)
         idx = jnp.argmin(t, axis=-1)
