@@ -69,9 +69,18 @@ def _prim_bounds(geom: SceneGeom) -> Tuple[np.ndarray, np.ndarray]:
     p1, p2 = v0 + e1, v0 + e2
     lo_t = np.minimum(np.minimum(v0, p1), p2)
     hi_t = np.maximum(np.maximum(v0, p1), p2)
+    if geom.tri_dv0 is not None:
+        # motion: union with end-of-shutter vertex bounds (linear motion
+        # stays within the endpoint hull per vertex)
+        v0e = v0 + np.asarray(geom.tri_dv0)
+        p1e = v0e + e1 + np.asarray(geom.tri_de1)
+        p2e = v0e + e2 + np.asarray(geom.tri_de2)
+        lo_t = np.minimum(lo_t, np.minimum(np.minimum(v0e, p1e), p2e))
+        hi_t = np.maximum(hi_t, np.maximum(np.maximum(v0e, p1e), p2e))
 
     qt = np.asarray(geom.quad_type)
     qo2w = np.asarray(geom.quad_o2w)
+    qo2w_end = None if geom.quad_o2w_end is None else np.asarray(geom.quad_o2w_end)
     qp = np.asarray(geom.quad_params)
     lo_q = np.zeros((len(qt), 3), np.float32)
     hi_q = np.zeros((len(qt), 3), np.float32)
@@ -84,6 +93,8 @@ def _prim_bounds(geom: SceneGeom) -> Tuple[np.ndarray, np.ndarray]:
         corners = np.array([[x, y, z] for x in (lo[0], hi[0])
                             for y in (lo[1], hi[1]) for z in (lo[2], hi[2])])
         wc = xform_point_affine(qo2w[i], corners)
+        if qo2w_end is not None:
+            wc = np.concatenate([wc, xform_point_affine(qo2w_end[i], corners)])
         lo_q[i] = wc.min(0)
         hi_q[i] = wc.max(0)
     lo = np.concatenate([lo_t, lo_q]) if len(qt) else lo_t
@@ -404,7 +415,7 @@ def build_bvh(geom: SceneGeom, split_method: str = "sah") -> Optional[BVH]:
 # ---------------------------------------------------------------------------
 # Device traversal
 
-def _leaf_prims_t(geom: SceneGeom, prim_ids, o, d, tmin, tmax):
+def _leaf_prims_t(geom: SceneGeom, prim_ids, o, d, tmin, tmax, time):
     """Candidate t for up to LEAF_MAX gathered prims per ray.
 
     prim_ids: [R, K] global ids (-1 = none). Returns (t [R,K], valid)."""
@@ -416,16 +427,14 @@ def _leaf_prims_t(geom: SceneGeom, prim_ids, o, d, tmin, tmax):
     tb = jnp.full(prim_ids.shape, BIG)
     vb = jnp.zeros(prim_ids.shape, bool)
     if T > 0:
-        v0 = geom.tri_v0[tri_idx]
-        e1 = geom.tri_e1[tri_idx]
-        e2 = geom.tri_e2[tri_idx]
+        v0, e1, e2 = geom.tri_at(tri_idx, time[:, None])
         t, v = _tri_t(v0, e1, e2, o[:, None], d[:, None], tmin[:, None], tmax[:, None])
         tb = jnp.where(is_tri & v, t, tb)
         vb = vb | (is_tri & v)
     if geom.n_quads > 0:
         qt = geom.quad_type[q_idx]
         qp = geom.quad_params[q_idx]
-        w2o = geom.quad_w2o[q_idx]
+        _, w2o = geom.quad_xforms_at(q_idx, time[:, None])
         oo = xform_point_affine(w2o, o[:, None])
         od = xform_vector(w2o, d[:, None])
         present = set(int(x) for x in np.asarray(geom.quad_type))
@@ -485,7 +494,7 @@ def t_pass_bvh(bvh: BVH, geom: SceneGeom, ray: Ray, any_hit: bool = False):
         in_range = (k[None, :] < count[:, None]) & box_hit[:, None] & is_leaf[:, None]
         pidx = jnp.clip(pidx, 0, max(P - 1, 0))
         gids = jnp.where(in_range, prim_ids[pidx], -1)
-        t_c, v_c = _leaf_prims_t(geom, gids, o, d, ray.tmin, t_best)
+        t_c, v_c = _leaf_prims_t(geom, gids, o, d, ray.tmin, t_best, ray.time)
         t_c = jnp.where(v_c, t_c, BIG)
         jbest = jnp.argmin(t_c, -1)
         t_leaf = jnp.take_along_axis(t_c, jbest[:, None], 1)[:, 0]
@@ -576,7 +585,9 @@ def make_accel(geom: SceneGeom, split_method: str = "sah",
     else:
         from pbrt_tpu.ops.intersect_pallas import pallas_available
 
-        if pallas_available() and geom.n_tris > 0:
+        # the Pallas flat kernel has no motion path; motion scenes use the
+        # jnp block scan (still vectorized, just not hand-tiled)
+        if pallas_available() and geom.n_tris > 0 and not geom.has_motion:
             from pbrt_tpu.ops.intersect_pallas import TriSoA
 
             tri_soa = TriSoA(geom.tri_v0, geom.tri_e1, geom.tri_e2)

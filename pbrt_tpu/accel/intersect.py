@@ -62,6 +62,20 @@ class SceneGeom(NamedTuple):
     quad_flip: jnp.ndarray   # [Q] bool: flip normals (reverseorientation ^ swap)
     world_lo: jnp.ndarray    # [3]
     world_hi: jnp.ndarray    # [3]
+    # motion blur (two-keyframe linear motion, reference
+    # core/primitive.h:115-117 TransformedPrimitive + AnimatedTransform):
+    # vertex deltas so v(t) = v + t * dv (t in [0,1] shutter-normalized)
+    tri_dv0: jnp.ndarray = None   # [T, 3]
+    tri_de1: jnp.ndarray = None   # [T, 3]
+    tri_de2: jnp.ndarray = None   # [T, 3]
+    quad_o2w_end: jnp.ndarray = None  # [Q, 4, 4] end-of-shutter transform
+    quad_w2o_end: jnp.ndarray = None  # [Q, 4, 4] its inverse (host-computed)
+    time0: float = 0.0            # shutter open  (transform keyframe times)
+    time1: float = 1.0            # shutter close
+
+    @property
+    def has_motion(self):
+        return self.tri_dv0 is not None or self.quad_o2w_end is not None
 
     @property
     def n_tris(self):
@@ -70,6 +84,37 @@ class SceneGeom(NamedTuple):
     @property
     def n_quads(self):
         return self.quad_type.shape[0]
+
+    def norm_time(self, time):
+        """Ray time -> [0,1] keyframe interpolant."""
+        span = max(self.time1 - self.time0, 1e-9)
+        return jnp.clip((time - self.time0) / span, 0.0, 1.0)
+
+    def tri_at(self, idx, time):
+        """Triangle (v0, e1, e2) at ray time; idx/time broadcastable."""
+        v0 = self.tri_v0[idx]
+        e1 = self.tri_e1[idx]
+        e2 = self.tri_e2[idx]
+        if self.tri_dv0 is None:
+            return v0, e1, e2
+        dt = self.norm_time(time)[..., None]
+        return (v0 + dt * self.tri_dv0[idx],
+                e1 + dt * self.tri_de1[idx],
+                e2 + dt * self.tri_de2[idx])
+
+    def quad_xforms_at(self, idx, time):
+        """(o2w, w2o) for quadrics at ray time: matrix-lerp of both
+        keyframe transforms (host-precomputed inverses). Endpoints are
+        exact; in between, linear — same first-order approximation as the
+        triangle vertex motion, and friendly to the TPU fusion pass
+        (pure broadcast lerp, no per-ray matrix inversion)."""
+        o2w = self.quad_o2w[idx]
+        if self.quad_o2w_end is None:
+            return o2w, self.quad_w2o[idx]
+        dt = self.norm_time(time)[..., None, None]
+        o2w_t = (1.0 - dt) * o2w + dt * self.quad_o2w_end[idx]
+        w2o_t = (1.0 - dt) * self.quad_w2o[idx] + dt * self.quad_w2o_end[idx]
+        return o2w_t, w2o_t
 
 
 class Hit(NamedTuple):
@@ -287,8 +332,13 @@ def _quad_t_pass(geom: SceneGeom, ray: Ray, t_best, prim_best):
     T = geom.n_tris
     t_best = jnp.where(prim_best >= 0, t_best,
                        jnp.where(jnp.isfinite(ray.tmax), ray.tmax, BIG))
-    o_obj = xform_point_affine(geom.quad_w2o[None], ray.o[:, None])
-    d_obj = xform_vector(geom.quad_w2o[None], ray.d[:, None])
+    if geom.quad_o2w_end is not None:
+        all_q = jnp.arange(geom.n_quads)
+        _, w2o = geom.quad_xforms_at(all_q[None, :], ray.time[:, None])
+    else:
+        w2o = geom.quad_w2o[None]
+    o_obj = xform_point_affine(w2o, ray.o[:, None])
+    d_obj = xform_vector(w2o, ray.d[:, None])
     present = set(int(x) for x in np.asarray(geom.quad_type))
     t, valid = _quad_candidates(
         geom.quad_type[None], geom.quad_params[None], o_obj, d_obj,
@@ -313,15 +363,24 @@ def t_pass_brute(geom: SceneGeom, ray: Ray, block: int = 512):
     if T > 0:
         nb = _round_up(T, block) // block
         pad = nb * block - T
-        v0 = jnp.pad(geom.tri_v0, ((0, pad), (0, 0))).reshape(nb, block, 3)
-        e1 = jnp.pad(geom.tri_e1, ((0, pad), (0, 0))).reshape(nb, block, 3)
-        e2 = jnp.pad(geom.tri_e2, ((0, pad), (0, 0))).reshape(nb, block, 3)
+
+        def blocks(x):
+            return jnp.pad(x, ((0, pad), (0, 0))).reshape(nb, block, 3)
+
+        v0, e1, e2 = blocks(geom.tri_v0), blocks(geom.tri_e1), blocks(geom.tri_e2)
+        if geom.tri_dv0 is not None:
+            dv = (blocks(geom.tri_dv0), blocks(geom.tri_de1), blocks(geom.tri_de2))
+            dt = geom.norm_time(ray.time)[:, None, None]
+        else:
+            dv = (jnp.zeros((nb, 1, 3)),) * 3  # broadcast no-op
+            dt = 0.0
 
         def body(carry, blk):
             tb, pb = carry
-            bv0, be1, be2, base = blk
+            bv0, be1, be2, bd0, bd1, bd2, base = blk
             t, valid = _tri_t(
-                bv0[None], be1[None], be2[None],
+                bv0[None] + dt * bd0[None], be1[None] + dt * bd1[None],
+                be2[None] + dt * bd2[None],
                 ray.o[:, None], ray.d[:, None],
                 ray.tmin[:, None], tb[:, None],
             )  # [R, block]
@@ -336,13 +395,18 @@ def t_pass_brute(geom: SceneGeom, ray: Ray, block: int = 512):
 
         bases = (jnp.arange(nb, dtype=jnp.int32) * block)
         (t_best, prim_best), _ = jax.lax.scan(
-            body, (t_best, prim_best), (v0, e1, e2, bases)
+            body, (t_best, prim_best), (v0, e1, e2, *dv, bases)
         )
 
     if Q > 0:
         # quadrics are few; single block
-        o_obj = xform_point_affine(geom.quad_w2o[None], ray.o[:, None])  # [R,Q,3]
-        d_obj = xform_vector(geom.quad_w2o[None], ray.d[:, None])
+        if geom.quad_o2w_end is not None:
+            all_q = jnp.arange(Q)
+            _, w2o_t = geom.quad_xforms_at(all_q[None, :], ray.time[:, None])
+        else:
+            w2o_t = geom.quad_w2o[None]
+        o_obj = xform_point_affine(w2o_t, ray.o[:, None])  # [R,Q,3]
+        d_obj = xform_vector(w2o_t, ray.d[:, None])
         present = set(int(x) for x in np.asarray(geom.quad_type))
         t, valid = _quad_candidates(
             geom.quad_type[None], geom.quad_params[None], o_obj, d_obj,
@@ -371,9 +435,7 @@ def reconstruct(geom: SceneGeom, ray: Ray, t: jnp.ndarray, prim: jnp.ndarray) ->
     p_hit = ray.at(t)
 
     if T > 0:
-        v0 = geom.tri_v0[tri_idx]
-        e1 = geom.tri_e1[tri_idx]
-        e2 = geom.tri_e2[tri_idx]
+        v0, e1, e2 = geom.tri_at(tri_idx, ray.time)
         ng_t = normalize(cross(e1, e2))
         # barycentrics at hit (recompute from MT)
         pvec = cross(ray.d, e2)
@@ -412,8 +474,7 @@ def reconstruct(geom: SceneGeom, ray: Ray, t: jnp.ndarray, prim: jnp.ndarray) ->
         qtype = geom.quad_type[quad_idx]
         qparams = geom.quad_params[quad_idx]
         qflip = geom.quad_flip[quad_idx]
-        o2w = geom.quad_o2w[quad_idx]
-        w2o = geom.quad_w2o[quad_idx]
+        o2w, w2o = geom.quad_xforms_at(quad_idx, ray.time)
         # object-space t equals world-space t only for rigid transforms;
         # recompute t in object space from the world hit is unnecessary —
         # we intersected with the object-space ray built from the world ray,

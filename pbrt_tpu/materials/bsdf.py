@@ -58,6 +58,8 @@ class BsdfParams(NamedTuple):
     eta: jnp.ndarray        # [H]
     vn: jnp.ndarray         # [H] Abbe number (glass dispersion)
     sigma: jnp.ndarray      # [H] oren-nayar sigma (degrees)
+    meas_id: jnp.ndarray = None    # [H] int32 measured-table index (-1 none)
+    meas_tables: jnp.ndarray = None  # [T,TH,TD,PD,3] shared half-angle tables
 
     @staticmethod
     def none(h):
@@ -91,6 +93,8 @@ class Lobes(NamedTuple):
     spec_t: jnp.ndarray     # [H, S]
     eta: jnp.ndarray        # [H]
     vn: jnp.ndarray         # [H]
+    meas_id: jnp.ndarray = None     # [H] int32 (-1 none)
+    meas_tables: jnp.ndarray = None  # [T,TH,TD,PD,3]
 
 
 def fresnel_dielectric(cos_i, eta_i, eta_t):
@@ -224,6 +228,7 @@ def material_lobes(p: BsdfParams) -> Lobes:
         fb=fb, spec_r=spec_r, spec_r_f_kind=spec_r_f_kind,
         spec_r_eta_s=spec_r_eta_s, spec_r_k_s=spec_r_k_s,
         spec_t=spec_t, eta=p.eta, vn=p.vn,
+        meas_id=p.meas_id, meas_tables=p.meas_tables,
     )
 
 
@@ -406,6 +411,14 @@ def bsdf_f(lb: Lobes, frame: Frame, wo_w, wi_w):
     f = jnp.zeros(wo.shape[:-1] + (S,), jnp.float32)
     # diffuse
     dr = _diffuse_f(jnp.where(lb.fb[..., None], 0.0, lb.diff_r), lb.sigma, wo, wi)
+    # measured half-angle table replaces the lambertian value on measured
+    # lanes (sampled like diffuse: cosine hemisphere; reference
+    # core/reflection.cpp RegularHalfangleBRDF::f has no Sample_f override)
+    if lb.meas_tables is not None:
+        from pbrt_tpu.materials.measured import eval_measured
+
+        f_meas = eval_measured(lb.meas_tables, lb.meas_id, wo, wi)
+        dr = jnp.where((lb.meas_id >= 0)[..., None], f_meas, dr)
     dt = _diffuse_f(lb.diff_t, lb.sigma, wo, wi)
     f = f + jnp.where((reflect & same)[..., None], dr, 0.0)
     f = f + jnp.where((~reflect)[..., None], dt, 0.0)

@@ -102,7 +102,17 @@ def make_material(name: str, tp, named_materials: Dict[str, MaterialRecord]) -> 
     elif name == "measured":
         fn = tp.find_filename("filename", "")
         rec.textures["bumpmap"] = tp.get_float_texture_or_none("bumpmap")
-        rec.spectra["albedo"] = _measured_albedo(fn)
+        loaded = None
+        if fn:
+            from pbrt_tpu.materials.measured import load_measured
+
+            loaded = load_measured(fn)
+        if loaded is None:
+            rec.spectra["albedo"] = _measured_albedo(fn)
+        else:
+            table, albedo = loaded
+            rec.spectra["merl"] = table
+            rec.spectra["albedo"] = albedo
     elif name in ("subsurface", "kdsubsurface"):
         # BSSRDF materials: record scattering properties; surface BSDF is a
         # fresnel-weighted specular (reference materials/subsurface.cpp).
@@ -131,10 +141,10 @@ def make_material(name: str, tp, named_materials: Dict[str, MaterialRecord]) -> 
 
 
 def _measured_albedo(fn: str) -> np.ndarray:
-    """Placeholder mean albedo for measured BRDFs until the .brdf/.merl
-    loader lands (reference materials/measured.cpp:215)."""
-    warning(f'measured material "{fn}": binary BRDF loading not yet supported; '
-            "using grey lambertian of matching mean")
+    """Fallback albedo when the measured file is missing/unreadable
+    (reference materials/measured.cpp:215 errors; we degrade to grey)."""
+    warning(f'measured material "{fn}": could not load BRDF data; '
+            "using grey lambertian")
     return np.full(spec.N_BINS, 0.5, np.float32)
 
 

@@ -55,6 +55,8 @@ class CompiledScene:
     world_lo: np.ndarray = None
     world_hi: np.ndarray = None
     accel: object = None                   # BvhScene (set in compile_scene)
+    meas_tables: object = None             # [T,TH,TD,PD,3] measured BRDFs
+    meas_index: dict = field(default_factory=dict)  # id(material) -> table row
 
     @property
     def n_lights(self) -> int:
@@ -91,18 +93,32 @@ def compile_scene(ro: RenderOptions, accel_threshold: int = 64) -> CompiledScene
     tri_v0, tri_e1, tri_e2 = [], [], []
     tri_n, tri_has_n, tri_uv = [], [], []
     tri_mat, tri_light = [], []
+    tri_dv0, tri_de1, tri_de2 = [], [], []  # motion-blur vertex deltas
     quads: List[Tuple[QuadricData, int, int]] = []  # (data, mat, light)
+    quad_o2w_end: List[np.ndarray] = []
+    any_motion = [False]
 
     # Area lights get one LightsT row per emitting shape record.
     area_rows = []  # (spectrum [S], tri_index_range | sphere info)
     al_v0, al_e1, al_e2, al_area = [], [], [], []
 
-    def add_shape_record(srec: ShapeRecord, extra_xform: Optional[Transform] = None):
+    def add_shape_record(srec: ShapeRecord, extra_xform: Optional[Transform] = None,
+                         extra_xform_end: Optional[Transform] = None):
         o2w = srec.o2w if extra_xform is None else (extra_xform * srec.o2w)
         w2o = o2w.inverse()
         sd = make_shape(srec.kind, srec.params, o2w, w2o, srec.reverse_orientation)
         if sd is None:
             return
+        # end-of-shutter transform (reference TransformedPrimitive,
+        # core/primitive.h:115-117): shape and/or instance animated CTM
+        base_end = srec.animated.end if srec.animated is not None else srec.o2w
+        xe = extra_xform_end if extra_xform_end is not None else extra_xform
+        o2w_end = base_end if xe is None else (xe * base_end)
+        animated = not np.allclose(o2w_end.m, o2w.m, atol=1e-12)
+        if animated:
+            any_motion[0] = True
+        # world-delta: v_end = delta @ v_start for already-baked vertices
+        delta = (o2w_end.m @ np.linalg.inv(o2w.m)).astype(np.float64)
         mi = _material_index(srec.material, materials, mat_index)
         li = -1
         if srec.area_light is not None:
@@ -130,6 +146,18 @@ def compile_scene(ro: RenderOptions, accel_threshold: int = 64) -> CompiledScene
             tri_v0.append(v0)
             tri_e1.append(v1 - v0)
             tri_e2.append(v2 - v0)
+            if animated:
+                v0e = xform_point_affine(delta, v0).astype(np.float32)
+                v1e = xform_point_affine(delta, v1).astype(np.float32)
+                v2e = xform_point_affine(delta, v2).astype(np.float32)
+                tri_dv0.append(v0e - v0)
+                tri_de1.append((v1e - v0e) - (v1 - v0))
+                tri_de2.append((v2e - v0e) - (v2 - v0))
+            else:
+                z = np.zeros_like(v0)
+                tri_dv0.append(z)
+                tri_de1.append(z)
+                tri_de2.append(z)
             if tri.n is not None:
                 tri_n.append(np.stack([tri.n[idx[:, 0]], tri.n[idx[:, 1]], tri.n[idx[:, 2]]], 1))
                 tri_has_n.append(np.ones(len(idx), bool))
@@ -154,6 +182,9 @@ def compile_scene(ro: RenderOptions, accel_threshold: int = 64) -> CompiledScene
                 area_rows[li]["area"] += float(areas.sum())
         for q in sd.quadrics:
             quads.append((q, mi, li))
+            quad_o2w_end.append(
+                (delta @ q.o2w).astype(np.float32) if animated
+                else np.asarray(q.o2w, np.float32))
             if li >= 0:
                 if q.qtype == QUAD_SPHERE:
                     r = float(q.params[0])
@@ -172,8 +203,9 @@ def compile_scene(ro: RenderOptions, accel_threshold: int = 64) -> CompiledScene
     for srec in ro.shapes:
         add_shape_record(srec)
     for inst in ro.instances:
+        inst_end = inst.animated.end if inst.animated is not None else None
         for srec in inst.shapes:
-            add_shape_record(srec, extra_xform=inst.i2w)
+            add_shape_record(srec, extra_xform=inst.i2w, extra_xform_end=inst_end)
 
     if tri_v0:
         TV0 = np.concatenate(tri_v0).astype(np.float32)
@@ -191,9 +223,18 @@ def compile_scene(ro: RenderOptions, accel_threshold: int = 64) -> CompiledScene
         TUV = np.zeros((0, 3, 2), np.float32)
         TM = TL = np.zeros((0,), np.int32)
 
+    if any_motion[0] and tri_v0:
+        TDV0 = np.concatenate(tri_dv0).astype(np.float32)
+        TDE1 = np.concatenate(tri_de1).astype(np.float32)
+        TDE2 = np.concatenate(tri_de2).astype(np.float32)
+    else:
+        TDV0 = TDE1 = TDE2 = None
+
     # world bound
     pts = [TV0, TV0 + TE1, TV0 + TE2]
-    for q, _, _ in quads:
+    if TDV0 is not None:
+        pts += [TV0 + TDV0, TV0 + TDV0 + TE1 + TDE1, TV0 + TDV0 + TE2 + TDE2]
+    for qi, (q, _, _) in enumerate(quads):
         # transform object bbox corners (conservative)
         r = abs(float(q.params[0]))
         zmin, zmax = float(q.params[1]), float(q.params[2])
@@ -202,6 +243,8 @@ def compile_scene(ro: RenderOptions, accel_threshold: int = 64) -> CompiledScene
         corners = np.array([[x, y, z] for x in (lo[0], hi[0]) for y in (lo[1], hi[1])
                             for z in (lo[2], hi[2])])
         pts.append(xform_point_affine(q.o2w, corners).astype(np.float32))
+        if any_motion[0]:
+            pts.append(xform_point_affine(quad_o2w_end[qi], corners).astype(np.float32))
     allp = np.concatenate([p for p in pts if len(p)]) if any(len(p) for p in pts) else np.zeros((1, 3), np.float32)
     world_lo = allp.min(0) - 1e-3
     world_hi = allp.max(0) + 1e-3
@@ -221,6 +264,17 @@ def compile_scene(ro: RenderOptions, accel_threshold: int = 64) -> CompiledScene
         ),
         world_lo=jnp.asarray(world_lo, jnp.float32),
         world_hi=jnp.asarray(world_hi, jnp.float32),
+        tri_dv0=None if TDV0 is None else jnp.asarray(TDV0),
+        tri_de1=None if TDE1 is None else jnp.asarray(TDE1),
+        tri_de2=None if TDE2 is None else jnp.asarray(TDE2),
+        quad_o2w_end=(jnp.asarray(np.stack(quad_o2w_end))
+                      if (any_motion[0] and quad_o2w_end) else None),
+        quad_w2o_end=(jnp.asarray(np.stack(
+            [np.linalg.inv(m.astype(np.float64)).astype(np.float32)
+             for m in quad_o2w_end]))
+            if (any_motion[0] and quad_o2w_end) else None),
+        time0=float(ro.transform_start_time),
+        time1=float(ro.transform_end_time),
     )
 
     lights, envs, light_dist = _build_lights(ro, area_rows, al_v0, al_e1, al_e2, al_area,
@@ -244,11 +298,23 @@ def compile_scene(ro: RenderOptions, accel_threshold: int = 64) -> CompiledScene
         # wavefront pattern and the build is host-side either way
         split = "sah"
     accel = make_accel(geom, split, force="flat" if accel_name == "none" else "")
+    # stack measured half-angle BRDF tables (materials/measured.py); each
+    # measured material gets an index into the [T,TH,TD,PD,3] stack
+    meas_tables = None
+    meas_index = {}
+    for m in materials:
+        if m.kind == "measured" and "merl" in m.spectra:
+            meas_index[id(m)] = len(meas_index)
+    if meas_index:
+        meas_tables = jnp.asarray(np.stack(
+            [m.spectra["merl"] for m in materials
+             if m.kind == "measured" and "merl" in m.spectra]))
     return CompiledScene(
         geom=geom, lights=lights, envs=envs, light_dist=light_dist,
         materials=materials, material_dispersive=jnp.asarray(disp),
         volume=volume, volume_records=list(ro.volume_regions),
         world_lo=world_lo, world_hi=world_hi, accel=accel,
+        meas_tables=meas_tables, meas_index=meas_index,
     )
 
 
@@ -431,6 +497,7 @@ def eval_bsdf_params(scene: CompiledScene, hit) -> BsdfParams:
     out = BsdfParams.none(H)
     zs = jnp.zeros((H, S), jnp.float32)
     ones = jnp.ones((H,), jnp.float32)
+    meas_id = jnp.full((H,), -1, jnp.int32)
 
     for mi, mat in enumerate(scene.materials):
         sel = hit.mat == mi
@@ -450,6 +517,10 @@ def eval_bsdf_params(scene: CompiledScene, hit) -> BsdfParams:
             vn=jnp.where(sel, p.vn, out.vn),
             sigma=jnp.where(sel, p.sigma, out.sigma),
         )
+        if id(mat) in scene.meas_index:
+            meas_id = jnp.where(sel, scene.meas_index[id(mat)], meas_id)
+    if scene.meas_tables is not None:
+        out = out._replace(meas_id=meas_id, meas_tables=scene.meas_tables)
     return out
 
 
