@@ -72,8 +72,9 @@ def li_photonmap(scene: CompiledScene, ctx, ray: Ray, pixel, sidx,
         bounces=jnp.zeros((N,), jnp.int32),
     )
     zf = jnp.zeros((N,), jnp.float32)
+    tm = ray.time
     for depth in range(max_depth + 1):
-        hit = scene.intersect(Ray(st.ray_o, st.ray_d, zf, jnp.full((N,), BIG), zf))
+        hit = scene.intersect(Ray(st.ray_o, st.ray_d, zf, jnp.full((N,), BIG), tm))
         st = st._replace(L=_add_hit_emission(scene, st, hit, depth == 0))
         escaped = st.alive & ~hit.valid
         st = st._replace(L=_add_escape_emission(scene, st, escaped, True))
@@ -90,7 +91,7 @@ def li_photonmap(scene: CompiledScene, ctx, ray: Ray, pixel, sidx,
             scene, lobes, frame, hit.p, wo,
             iu(pixel, sidx, depth, 0, seed), iu(pixel, sidx, depth, 1, seed),
             iu(pixel, sidx, depth, 2, seed), alive & has_ns,
-            transmittance_fn=transmittance_fn,
+            transmittance_fn=transmittance_fn, time=tm,
         )
         Lc = lphoton_surface(ctx.caustic, lobes, frame, hit.p, wo,
                              ctx.n_used, ctx.max_dist2)

@@ -75,8 +75,9 @@ def make_frame(hit: Hit) -> Frame:
     return Frame(ss=ss, ts=ts, ns=hit.ns, ng=hit.ng)
 
 
-def _occluded(scene: CompiledScene, p, wi, dist, valid):
-    """Shadow-ray query toward a light sample."""
+def _occluded(scene: CompiledScene, p, wi, dist, valid, time=None):
+    """Shadow-ray query toward a light sample (at the camera ray's time
+    so moving occluders are sampled consistently)."""
     R = p.shape[0]
     tmax = jnp.where(dist >= BIG, jnp.full_like(dist, BIG), dist * (1.0 - 1e-3))
     ray = Ray(
@@ -84,13 +85,14 @@ def _occluded(scene: CompiledScene, p, wi, dist, valid):
         d=wi,
         tmin=jnp.zeros((R,), jnp.float32),
         tmax=jnp.where(valid, tmax, -1.0),  # invalid lanes: empty interval
-        time=jnp.zeros((R,), jnp.float32),
+        time=jnp.zeros((R,), jnp.float32) if time is None else time,
     )
     return scene.intersect_p(ray)
 
 
 def estimate_direct(scene: CompiledScene, lobes: Lobes, frame: Frame,
-                    p, wo, u_light, u1, u2, active, transmittance_fn=None):
+                    p, wo, u_light, u1, u2, active, transmittance_fn=None,
+                    time=None):
     """One-light direct illumination with light-sampling MIS half.
 
     Returns [N, S]. The BSDF half of the MIS pair is folded into the
@@ -106,7 +108,7 @@ def estimate_direct(scene: CompiledScene, lobes: Lobes, frame: Frame,
     f = bsdf_f(lobes, frame, wo, ls.wi)
     cos_i = jnp.abs(dot(ls.wi, frame.ns))
     usable = active & (cos_i > 0) & (ls.pdf > 1e-9) & ~spec.is_black(ls.L) & ~spec.is_black(f)
-    occluded = _occluded(scene, p, ls.wi, ls.dist, usable)
+    occluded = _occluded(scene, p, ls.wi, ls.dist, usable, time=time)
     usable = usable & ~occluded
     # MIS weight (light strategy): delta lights get weight 1
     bpdf = bsdf_pdf(lobes, frame, wo, ls.wi)
@@ -217,12 +219,14 @@ def _li_path_impl(scene: CompiledScene, ray: Ray, u_fn, max_depth: int,
         bounces=jnp.zeros((N,), jnp.int32),
     )
 
+    tm = ray.time  # shutter time, constant along the path
+
     # Depth loop is a Python unroll: each bounce evaluates the (small)
     # closed material set; XLA fuses the per-bounce bodies.
     for depth in range(max_depth + 1):
         hit = scene.intersect(Ray(st.ray_o, st.ray_d,
                                   jnp.zeros((N,), jnp.float32),
-                                  jnp.full((N,), BIG), jnp.zeros((N,), jnp.float32)))
+                                  jnp.full((N,), BIG), tm))
         first = depth == 0
         L = _add_hit_emission(scene, st, hit, first)
         st = st._replace(L=L)
@@ -244,7 +248,7 @@ def _li_path_impl(scene: CompiledScene, ray: Ray, u_fn, max_depth: int,
             scene, lobes, frame, hit.p, wo,
             u_fn(depth, 0), u_fn(depth, 1),
             u_fn(depth, 2), alive & has_ns,
-            transmittance_fn=transmittance_fn,
+            transmittance_fn=transmittance_fn, time=tm,
         )
         # apply carried-wavelength band filter to new light (monochromatic lanes)
         mono = st.lam_nm > 0.0
@@ -332,10 +336,11 @@ def _li_direct_or_whitted(scene, ray, pixel, sidx, max_depth, seed, strategy,
         lam_nm=jnp.full((N,), -1.0, jnp.float32),
         bounces=jnp.zeros((N,), jnp.int32),
     )
+    tm = ray.time
     for depth in range(max_depth + 1):
         hit = scene.intersect(Ray(st.ray_o, st.ray_d,
                                   jnp.zeros((N,), jnp.float32),
-                                  jnp.full((N,), BIG), jnp.zeros((N,), jnp.float32)))
+                                  jnp.full((N,), BIG), tm))
         st = st._replace(L=_add_hit_emission(scene, st, hit, depth == 0))
         escaped = st.alive & ~hit.valid
         st = st._replace(L=_add_escape_emission(scene, st, escaped, True))
@@ -359,7 +364,7 @@ def _li_direct_or_whitted(scene, ray, pixel, sidx, max_depth, seed, strategy,
                     f = bsdf_f(lobes, frame, wo, ls.wi)
                     cos_i = jnp.abs(dot(ls.wi, frame.ns))
                     ok = alive & (ls.pdf > 1e-9) & ~spec.is_black(ls.L) & ~spec.is_black(f)
-                    occ = _occluded(scene, hit.p, ls.wi, ls.dist, ok)
+                    occ = _occluded(scene, hit.p, ls.wi, ls.dist, ok, time=tm)
                     ok = ok & ~occ
                     c = f * ls.L * (cos_i / jnp.maximum(ls.pdf, 1e-12))[..., None]
                     if transmittance_fn is not None:
@@ -370,7 +375,7 @@ def _li_direct_or_whitted(scene, ray, pixel, sidx, max_depth, seed, strategy,
                     scene, lobes, frame, hit.p, wo,
                     iu(pixel, sidx, depth, 0, seed), iu(pixel, sidx, depth, 1, seed),
                     iu(pixel, sidx, depth, 2, seed), alive,
-                    transmittance_fn=transmittance_fn,
+                    transmittance_fn=transmittance_fn, time=tm,
                 )
         st = st._replace(L=st.L + st.throughput * Ld * alive[..., None])
 
@@ -414,7 +419,7 @@ def li_ao(scene: CompiledScene, ray: Ray, pixel, sidx,
         w_local = cosine_sample_hemisphere(u1, u2)
         wi = frame.to_world(w_local)
         dist = jnp.full((N,), max_dist, jnp.float32)
-        occ = _occluded(scene, hit.p, wi, dist, hit.valid)
+        occ = _occluded(scene, hit.p, wi, dist, hit.valid, time=ray.time)
         acc = acc + jnp.where(hit.valid & ~occ, 1.0, 0.0)
     vis = acc / n_samples
     return jnp.where(hit.valid[..., None], vis[..., None] * jnp.ones((N, S)), 0.0)
