@@ -6,15 +6,15 @@ core/pbrt.h:157 makes it the active Spectrum type). A spectrum here is
 just a jnp array whose last axis has N_BINS entries, so whole wavefronts
 of spectra are 2D tensors and all ops are vectorized.
 
-Color science is built from scratch:
-- CIE x/y/z matching curves from the multi-lobe Gaussian fits of
-  Wyman, Sloan & Shirley, "Simple Analytic Approximations to the CIE XYZ
-  Color Matching Functions", JCGT 2013 (public closed forms).
-- RGB->spectrum uses a linear 30x3 basis computed once at import by a
-  smoothness-regularized least squares (minimize ||D2 s||^2 subject to
-  spectrum_to_rgb(s) = rgb). This is linear, smooth and exactly
-  round-trips RGB before clipping, replacing the reference's Smits-style
-  tables (reference core/spectrum.cpp RGBRefl2Spect*).
+Color science matches the reference renderer bit-for-bit at the table
+level so rendered images are comparable within MC noise:
+- CIE 1931 x/y/z matching curves and the Smits-style RGB->spectrum
+  basis spectra binned to the 30 samples (spectrum_data.py, derived
+  offline the same way SampledSpectrum::Init derives them).
+- from_rgb applies the reference's FromRGB basis mixing (min channel ->
+  white, mid span -> secondary, max span -> primary; core/spectrum.cpp
+  :154-243), vectorized over whole batches. This intentionally does NOT
+  round-trip RGB exactly — neither does pbrt.
 
 Student dispersion extensions (reference core/spectrum.h:253-324) map to
 wavefront-friendly forms:
@@ -43,76 +43,55 @@ LAMBDAS = 0.5 * (LAMBDAS_EDGE[:-1] + LAMBDAS_EDGE[1:])  # midpoints [30]
 LAMBDAS_SPLIT = LAMBDA_START + np.arange(N_BINS) * (LAMBDA_END - LAMBDA_START) / (N_BINS - 1)
 
 
-def _cie_gauss(lam, alpha, mu, s1, s2):
-    s = np.where(lam < mu, s1, s2)
-    return alpha * np.exp(-0.5 * ((lam - mu) / s) ** 2)
+from pbrt_tpu.core import spectrum_data as _sd
 
+# CIE matching curves averaged per bin exactly like SampledSpectrum::Init
+# (reference core/spectrum.h:368-380): [3, 30]
+CIE_XYZ_BINS = np.stack([_sd.CIE_X_BINS, _sd.CIE_Y_BINS, _sd.CIE_Z_BINS])
+CIE_Y_INT = _sd.CIE_Y_INTEGRAL
 
-def _cie_xyz_bar(lam):
-    lam = np.asarray(lam, np.float64)
-    x = (
-        _cie_gauss(lam, 1.056, 599.8, 37.9, 31.0)
-        + _cie_gauss(lam, 0.362, 442.0, 16.0, 26.7)
-        + _cie_gauss(lam, -0.065, 501.1, 20.4, 26.2)
-    )
-    y = _cie_gauss(lam, 0.821, 568.8, 46.9, 40.5) + _cie_gauss(lam, 0.286, 530.9, 16.3, 31.1)
-    z = _cie_gauss(lam, 1.217, 437.0, 11.8, 36.0) + _cie_gauss(lam, 0.681, 459.0, 26.0, 13.8)
-    return np.stack([x, y, z], axis=0)
-
-
-def _integrate_bins(fn, n_sub: int = 16) -> np.ndarray:
-    """Average fn(lambda) over each bin -> [..., N_BINS]."""
-    out = []
-    for i in range(N_BINS):
-        sub = np.linspace(LAMBDAS_EDGE[i], LAMBDAS_EDGE[i + 1], n_sub)
-        out.append(np.mean(fn(sub), axis=-1))
-    return np.stack(out, axis=-1)
-
-
-# CIE matching curves averaged per bin: [3, 30]
-CIE_XYZ_BINS = _integrate_bins(_cie_xyz_bar)
-# Normalization: integral of ybar over the visible range (scaled to our window)
-CIE_Y_INT = float(np.sum(CIE_XYZ_BINS[1]) * BIN_WIDTH)
-
-# sRGB (linear) <-> XYZ, D65 white
+# XYZ <-> linear RGB, the reference's literal matrices
+# (reference core/spectrum.h:51-64 XYZToRGB / RGBToXYZ)
 XYZ_TO_RGB = np.array(
     [
-        [3.2404542, -1.5371385, -0.4985314],
-        [-0.9692660, 1.8760108, 0.0415560],
-        [0.0556434, -0.2040259, 1.0572252],
+        [3.240479, -1.537150, -0.498535],
+        [-0.969256, 1.875991, 0.041556],
+        [0.055648, -0.204043, 1.057311],
     ]
 )
-RGB_TO_XYZ = np.linalg.inv(XYZ_TO_RGB)
+RGB_TO_XYZ = np.array(
+    [
+        [0.412453, 0.357580, 0.180423],
+        [0.212671, 0.715160, 0.072169],
+        [0.019334, 0.119193, 0.950227],
+    ]
+)
 
-# spectrum -> rgb matrix, normalized so a constant-1 spectrum has Y=1
-_S2XYZ = CIE_XYZ_BINS * BIN_WIDTH / CIE_Y_INT  # [3, 30]
+# spectrum -> XYZ: xyz = (sum_i cie_i c_i) * (end-start)/(Y_integral * n)
+# (reference core/spectrum.h:420-432 ToXYZ)
+_S2XYZ = CIE_XYZ_BINS * ((LAMBDA_END - LAMBDA_START) / (CIE_Y_INT * N_BINS))
 S2RGB = XYZ_TO_RGB @ _S2XYZ  # [3, 30]
 
-
-def _solve_rgb_basis() -> np.ndarray:
-    """30x3 basis B with S2RGB @ B = I and minimal curvature.
-
-    Minimize ||D2 s||^2 + eps ||s||^2 s.t. M s = e_k for each primary:
-    closed-form via KKT.  Returns B (columns are r/g/b basis spectra).
-    """
-    M = S2RGB  # [3, 30]
-    n = N_BINS
-    D2 = np.zeros((n - 2, n))
-    for i in range(n - 2):
-        D2[i, i], D2[i, i + 1], D2[i, i + 2] = 1.0, -2.0, 1.0
-    Q = D2.T @ D2 + 1e-6 * np.eye(n)
-    # KKT: [Q M^T; M 0] [s; mu] = [0; e]
-    K = np.block([[Q, M.T], [M, np.zeros((3, 3))]])
-    rhs = np.vstack([np.zeros((n, 3)), np.eye(3)])
-    sol = np.linalg.solve(K, rhs)
-    return sol[:n]  # [30, 3]
-
-
-RGB_BASIS = _solve_rgb_basis()  # [30, 3]
+# Smits RGB->spectrum basis spectra, binned: order matches the mixing
+# algorithm below [white, cyan, magenta, yellow, red, green, blue]
+_REFL_BASIS = np.stack([
+    _sd.RGBRefl2SpectWhite_BINS, _sd.RGBRefl2SpectCyan_BINS,
+    _sd.RGBRefl2SpectMagenta_BINS, _sd.RGBRefl2SpectYellow_BINS,
+    _sd.RGBRefl2SpectRed_BINS, _sd.RGBRefl2SpectGreen_BINS,
+    _sd.RGBRefl2SpectBlue_BINS,
+])  # [7, 30]
+_ILLUM_BASIS = np.stack([
+    _sd.RGBIllum2SpectWhite_BINS, _sd.RGBIllum2SpectCyan_BINS,
+    _sd.RGBIllum2SpectMagenta_BINS, _sd.RGBIllum2SpectYellow_BINS,
+    _sd.RGBIllum2SpectRed_BINS, _sd.RGBIllum2SpectGreen_BINS,
+    _sd.RGBIllum2SpectBlue_BINS,
+])
+# trailing scale factors (reference core/spectrum.cpp:195,238)
+_REFL_SCALE = 0.94
+_ILLUM_SCALE = 0.86445
 
 # jnp copies (float32) for device use
 S2RGB_J = jnp.asarray(S2RGB, jnp.float32)
-RGB_BASIS_J = jnp.asarray(RGB_BASIS, jnp.float32)
 LAMBDAS_J = jnp.asarray(LAMBDAS, jnp.float32)
 LAMBDAS_SPLIT_J = jnp.asarray(LAMBDAS_SPLIT, jnp.float32)
 
@@ -136,27 +115,85 @@ def y(s):
     return s @ m
 
 
+def _smits_coeffs(rgb, xp):
+    """Basis-mixing coefficients [..., 7] of the reference's FromRGB
+    (core/spectrum.cpp:154-243): white gets the min channel, one
+    secondary (cyan/magenta/yellow) the mid-min span, one primary the
+    max-mid span. Branch precedence (ties) matches the C++ if-chain."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    r_min = (r <= g) & (r <= b)
+    g_min = ~r_min & (g <= r) & (g <= b)
+    b_min = ~r_min & ~g_min
+    zero = xp.zeros_like(r)
+    white = xp.where(r_min, r, xp.where(g_min, g, b))
+    cyan = xp.where(r_min, xp.where(g <= b, g - r, b - r), zero)
+    magenta = xp.where(g_min, xp.where(r <= b, r - g, b - g), zero)
+    yellow = xp.where(b_min, xp.where(r <= g, r - b, g - b), zero)
+    blue = (xp.where(r_min & (g <= b), b - g, zero)
+            + xp.where(g_min & (r <= b), b - r, zero))
+    green = (xp.where(r_min & (g > b), g - b, zero)
+             + xp.where(b_min & (r <= g), g - r, zero))
+    red = (xp.where(g_min & (r > b), r - b, zero)
+           + xp.where(b_min & (r > g), r - g, zero))
+    return xp.stack([white, cyan, magenta, yellow, red, green, blue], -1)
+
+
 def from_rgb(rgb, kind: str = "reflectance"):
-    """RGB [..., 3] -> spectrum [..., 30]; linear basis, clipped at 0."""
-    b = RGB_BASIS_J if isinstance(rgb, jnp.ndarray) else RGB_BASIS
-    return jnp.clip(rgb @ b.T, 0.0, None) if isinstance(rgb, jnp.ndarray) else np.clip(rgb @ b.T, 0.0, None)
+    """RGB [..., 3] -> spectrum [..., 30] via the reference's Smits-style
+    basis mixing (SampledSpectrum::FromRGB). NOT an exact round-trip:
+    the basis desaturates slightly, identically to pbrt."""
+    basis = _REFL_BASIS if kind == "reflectance" else _ILLUM_BASIS
+    scale = _REFL_SCALE if kind == "reflectance" else _ILLUM_SCALE
+    if isinstance(rgb, jnp.ndarray):
+        c = _smits_coeffs(rgb, jnp)
+        return jnp.clip(c @ jnp.asarray(basis * scale, jnp.float32), 0.0, None)
+    rgb = np.asarray(rgb, np.float64)
+    c = _smits_coeffs(rgb, np)
+    return np.clip(c @ (basis * scale), 0.0, None).astype(np.float32)
 
 
 def from_sampled(lambdas, values) -> np.ndarray:
     """Piecewise-linear SPD samples -> binned spectrum (host, NumPy).
 
-    Averages the linear interpolant over each bin (reference
-    core/spectrum.cpp AverageSpectrumSamples).
+    Exact piecewise-linear average over each bin with constant
+    extension outside the sample range (reference core/spectrum.cpp
+    AverageSpectrumSamples, :58-91).
     """
     lam = np.asarray(lambdas, np.float64)
     val = np.asarray(values, np.float64)
-    order = np.argsort(lam)
+    order = np.argsort(lam, kind="stable")
     lam, val = lam[order], val[order]
+    n = len(lam)
 
-    out = np.empty(N_BINS, np.float64)
-    for i in range(N_BINS):
-        sub = np.linspace(LAMBDAS_EDGE[i], LAMBDAS_EDGE[i + 1], 64)
-        out[i] = np.mean(np.interp(sub, lam, val))
+    def avg(l0, l1):
+        if l1 <= lam[0]:
+            return val[0]
+        if l0 >= lam[-1]:
+            return val[-1]
+        if n == 1:
+            return val[0]
+        s = 0.0
+        if l0 < lam[0]:
+            s += val[0] * (lam[0] - l0)
+        if l1 > lam[-1]:
+            s += val[-1] * (l1 - lam[-1])
+        i = 0
+        while l0 > lam[i + 1]:
+            i += 1
+
+        def interp(w, i):
+            t = (w - lam[i]) / (lam[i + 1] - lam[i])
+            return val[i] * (1 - t) + val[i + 1] * t
+
+        while i + 1 < n and l1 >= lam[i]:
+            a, b = max(l0, lam[i]), min(l1, lam[i + 1])
+            if b > a:
+                s += 0.5 * (interp(a, i) + interp(b, i)) * (b - a)
+            i += 1
+        return s / (l1 - l0)
+
+    out = np.array([avg(LAMBDAS_EDGE[i], LAMBDAS_EDGE[i + 1])
+                    for i in range(N_BINS)])
     return out.astype(np.float32)
 
 

@@ -133,7 +133,7 @@ def compile_scene(ro: RenderOptions, accel_threshold: int = 64) -> CompiledScene
             li = len(area_rows)
             area_rows.append({
                 "L": lemit * scale, "nsamples": nsamp,
-                "tri_start": len(al_v0), "tri_count": 0,
+                "tri_start": sum(len(a) for a in al_v0), "tri_count": 0,
                 "is_sphere": False, "center": np.zeros(3, np.float32), "radius": 0.0,
                 "area": 0.0,
             })
@@ -186,19 +186,33 @@ def compile_scene(ro: RenderOptions, accel_threshold: int = 64) -> CompiledScene
                 (delta @ q.o2w).astype(np.float32) if animated
                 else np.asarray(q.o2w, np.float32))
             if li >= 0:
-                if q.qtype == QUAD_SPHERE:
-                    r = float(q.params[0])
-                    c = q.o2w[:3, 3]
+                r = float(q.params[0])
+                full_sphere = (
+                    q.qtype == QUAD_SPHERE
+                    and float(q.params[1]) <= -r + 1e-6
+                    and float(q.params[2]) >= r - 1e-6
+                    and float(q.params[3]) >= 2.0 * np.pi - 1e-5
+                )
+                if full_sphere:
+                    # analytic cone sampling (reference shapes/sphere.cpp
+                    # Sample with uniform-cone toward the sphere)
                     area_rows[li]["is_sphere"] = True
-                    area_rows[li]["center"] = np.asarray(c, np.float32)
+                    area_rows[li]["center"] = np.asarray(q.o2w[:3, 3], np.float32)
                     area_rows[li]["radius"] = r
                     area_rows[li]["area"] += 4.0 * np.pi * r * r
                 else:
-                    warning("area light on a non-sphere quadric: sampled as sphere bound")
-                    area_rows[li]["is_sphere"] = True
-                    area_rows[li]["center"] = q.o2w[:3, 3].astype(np.float32)
-                    area_rows[li]["radius"] = float(abs(q.params[0]))
-                    area_rows[li]["area"] += 4.0 * np.pi * float(q.params[0]) ** 2
+                    # partial sphere / disk / other quadric emitters:
+                    # tessellate for light sampling only (shapes/registry
+                    # .tessellate_quadric); intersection stays analytic
+                    from pbrt_tpu.shapes.registry import tessellate_quadric
+
+                    tv0, te1, te2, ta = tessellate_quadric(q)
+                    al_v0.append(tv0)
+                    al_e1.append(te1)
+                    al_e2.append(te2)
+                    al_area.append(ta)
+                    area_rows[li]["tri_count"] += len(tv0)
+                    area_rows[li]["area"] += float(ta.sum())
 
     for srec in ro.shapes:
         add_shape_record(srec)
@@ -293,11 +307,19 @@ def compile_scene(ro: RenderOptions, accel_threshold: int = 64) -> CompiledScene
     if accel_name not in ("bvh", "grid", "kdtree", "none"):
         warning(f'Accelerator "{accel_name}" unknown; using "bvh".')
         accel_name = "bvh"
-    if accel_name in ("grid", "kdtree"):
-        # both lower to the BVH on TPU: the traversal loop is the same
-        # wavefront pattern and the build is host-side either way
-        split = "sah"
-    accel = make_accel(geom, split, force="flat" if accel_name == "none" else "")
+    if accel_name == "grid":
+        # uniform voxel grid with wavefront 3DDDA (accel/grid.py)
+        from pbrt_tpu.accel.grid import make_grid_accel
+
+        accel = make_grid_accel(geom)
+    elif accel_name == "kdtree":
+        # SAH kd-tree with short-stack wavefront traversal (accel/kdtree.py)
+        from pbrt_tpu.accel.kdtree import make_kdtree_accel
+
+        accel = make_kdtree_accel(geom, ro.accelerator_params)
+    else:
+        accel = make_accel(geom, split,
+                           force="flat" if accel_name == "none" else "")
     # stack measured half-angle BRDF tables (materials/measured.py); each
     # measured material gets an index into the [T,TH,TD,PD,3] stack
     meas_tables = None

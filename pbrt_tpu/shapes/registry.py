@@ -208,3 +208,67 @@ def _make_heightfield(params: ParamSet, o2w: Transform) -> Optional[TriangleData
             idx.append([v00, v11, v01])
     world_p = xform_point_affine(o2w.m, pts.astype(np.float64)).astype(np.float32)
     return TriangleData(p=world_p, indices=np.asarray(idx, np.int32), uv=uv)
+
+
+def tessellate_quadric(q: QuadricData, n_phi: int = 64, n_v: int = 16):
+    """Quadric -> world-space triangle soup (v0 [T,3], e1, e2, area [T])
+    for area-light sampling (the reference samples emissive shapes
+    directly via ShapeSet, core/light.h:135-153; on TPU the light
+    sampler draws from triangle tensors, so non-sphere emitters are
+    tessellated here at compile time — geometry intersection still uses
+    the analytic quadric).
+
+    Triangle winding follows the pbrt (u=phi, v=z/theta) parameterization
+    so cross(e1, e2) points along dpdu x dpdv (the shape normal), flipped
+    by reverse_orientation ^ swaps_handedness like the analytic normal.
+    """
+    t = q.qtype
+    r = float(q.params[0])
+    p1, p2 = float(q.params[1]), float(q.params[2])
+    phimax = float(q.params[3]) if q.params[3] > 0 else 2.0 * np.pi
+    phis = np.linspace(0.0, phimax, n_phi + 1)
+    vs = np.linspace(0.0, 1.0, n_v + 1)
+    PH, V = np.meshgrid(phis, vs, indexing="ij")  # [n_phi+1, n_v+1]
+    cph, sph = np.cos(PH), np.sin(PH)
+    if t == QUAD_DISK:
+        height, inner = p1, float(q.params[4])
+        rad = r + (inner - r) * V
+        x, y, z = rad * cph, rad * sph, np.full_like(V, height)
+    elif t == QUAD_SPHERE:
+        th0 = np.arccos(np.clip(p2 / r, -1.0, 1.0))  # zmax -> theta_min
+        th1 = np.arccos(np.clip(p1 / r, -1.0, 1.0))
+        th = th0 + (th1 - th0) * V
+        x, y, z = r * np.sin(th) * cph, r * np.sin(th) * sph, r * np.cos(th)
+    elif t == QUAD_CYLINDER:
+        z = p1 + (p2 - p1) * V
+        x, y = r * cph, r * sph
+    elif t == QUAD_CONE:
+        height = p2 if p2 != 0 else 1.0
+        z = p1 + (p2 - p1) * V
+        rad = r * (1.0 - z / height)
+        x, y = rad * cph, rad * sph
+    elif t == QUAD_PARABOLOID:
+        zmax = p2 if p2 != 0 else 1.0
+        z = p1 + (p2 - p1) * V
+        rad = r * np.sqrt(np.clip(z / zmax, 0.0, None))
+        x, y = rad * cph, rad * sph
+    else:  # hyperboloid: linear lerp between end circles (approximate)
+        z = p1 + (p2 - p1) * V
+        rad = np.full_like(V, r)
+        x, y = rad * cph, rad * sph
+    pts = np.stack([x, y, z], -1).reshape(-1, 3)
+    pts = xform_point_affine(np.asarray(q.o2w, np.float64), pts)
+    pts = pts.reshape(n_phi + 1, n_v + 1, 3).astype(np.float32)
+
+    A = pts[:-1, :-1].reshape(-1, 3)
+    B = pts[1:, :-1].reshape(-1, 3)   # +u
+    C = pts[:-1, 1:].reshape(-1, 3)   # +v
+    D = pts[1:, 1:].reshape(-1, 3)
+    v0 = np.concatenate([A, B])
+    e1 = np.concatenate([B - A, D - B])
+    e2 = np.concatenate([C - A, C - B])
+    if bool(q.reverse_orientation) ^ bool(q.swaps_handedness):
+        e1, e2 = e2, e1
+    area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+    keep = area > 1e-12
+    return v0[keep], e1[keep], e2[keep], area[keep].astype(np.float32)
