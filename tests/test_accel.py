@@ -76,3 +76,45 @@ def test_bvh_tmax_respected():
     t_b, p_b = t_pass_bvh(bvh, geom, ray)
     t_b, p_b = np.asarray(t_b), np.asarray(p_b)
     assert np.all(t_b[p_b >= 0] <= 0.5 + 1e-5)
+
+
+# ---------------- uniform grid (accel/grid.py) ----------------
+
+def test_grid_matches_brute():
+    from pbrt_tpu.accel.grid import build_grid, t_pass_grid
+
+    geom = _random_tri_geom(300)
+    grid = build_grid(geom)
+    ray = _random_rays(512)
+    t_ref, p_ref = t_pass_brute(geom, ray)
+    t_g, p_g = t_pass_grid(grid, geom, ray)
+    t_ref, p_ref = np.asarray(t_ref), np.asarray(p_ref)
+    t_g, p_g = np.asarray(t_g), np.asarray(p_g)
+    np.testing.assert_array_equal(p_ref >= 0, p_g >= 0)
+    both = p_ref >= 0
+    np.testing.assert_allclose(t_g[both], t_ref[both], rtol=1e-3, atol=1e-4)
+
+
+def test_grid_any_hit():
+    from pbrt_tpu.accel.grid import build_grid, t_pass_grid
+
+    geom = _random_tri_geom(200)
+    grid = build_grid(geom)
+    ray = _random_rays(256, seed=3)
+    _, p_ref = t_pass_brute(geom, ray)
+    _, p_g = t_pass_grid(grid, geom, ray, any_hit=True)
+    np.testing.assert_array_equal(np.asarray(p_ref) >= 0, np.asarray(p_g) >= 0)
+
+
+def test_grid_tmax_respected():
+    from pbrt_tpu.accel.grid import build_grid, t_pass_grid
+
+    geom = _random_tri_geom(150, seed=7)
+    grid = build_grid(geom)
+    ray = _random_rays(256, seed=9)
+    t_ref, p_ref = t_pass_brute(geom, ray)
+    # clip tmax below every first hit: everything must miss
+    t_short = jnp.where(jnp.asarray(p_ref) >= 0, jnp.asarray(t_ref) * 0.5, 0.1)
+    ray2 = Ray(ray.o, ray.d, ray.tmin, t_short, ray.time)
+    _, p_g = t_pass_grid(grid, geom, ray2)
+    assert not np.any(np.asarray(p_g) >= 0)
