@@ -118,3 +118,59 @@ def test_grid_tmax_respected():
     ray2 = Ray(ray.o, ray.d, ray.tmin, t_short, ray.time)
     _, p_g = t_pass_grid(grid, geom, ray2)
     assert not np.any(np.asarray(p_g) >= 0)
+
+
+# ---------------- SAH kd-tree (accel/kdtree.py) ----------------
+
+def test_kdtree_matches_brute():
+    from pbrt_tpu.accel.kdtree import build_kdtree, t_pass_kdtree
+
+    geom = _random_tri_geom(300)
+    kd = build_kdtree(geom)
+    ray = _random_rays(512)
+    t_ref, p_ref = t_pass_brute(geom, ray)
+    t_k, p_k = t_pass_kdtree(kd, geom, ray)
+    t_ref, p_ref = np.asarray(t_ref), np.asarray(p_ref)
+    t_k, p_k = np.asarray(t_k), np.asarray(p_k)
+    np.testing.assert_array_equal(p_ref >= 0, p_k >= 0)
+    both = p_ref >= 0
+    np.testing.assert_allclose(t_k[both], t_ref[both], rtol=1e-3, atol=1e-4)
+
+
+def test_kdtree_any_hit():
+    from pbrt_tpu.accel.kdtree import build_kdtree, t_pass_kdtree
+
+    geom = _random_tri_geom(200)
+    kd = build_kdtree(geom)
+    ray = _random_rays(256, seed=3)
+    _, p_ref = t_pass_brute(geom, ray)
+    _, p_k = t_pass_kdtree(kd, geom, ray, any_hit=True)
+    np.testing.assert_array_equal(np.asarray(p_ref) >= 0, np.asarray(p_k) >= 0)
+
+
+def test_kdtree_tmax_respected():
+    from pbrt_tpu.accel.kdtree import build_kdtree, t_pass_kdtree
+
+    geom = _random_tri_geom(150, seed=7)
+    kd = build_kdtree(geom)
+    ray = _random_rays(256, seed=9)
+    t_ref, p_ref = t_pass_brute(geom, ray)
+    t_short = jnp.where(jnp.asarray(p_ref) >= 0, jnp.asarray(t_ref) * 0.5, 0.1)
+    ray2 = Ray(ray.o, ray.d, ray.tmin, t_short, ray.time)
+    _, p_k = t_pass_kdtree(kd, geom, ray2)
+    assert not np.any(np.asarray(p_k) >= 0)
+
+
+def test_kdtree_params_factory():
+    from pbrt_tpu.accel.kdtree import make_kdtree_accel
+    from pbrt_tpu.scene.paramset import ParamSet
+
+    geom = _random_tri_geom(64, seed=5)
+    ps = ParamSet()
+    ps.add("integer", "intersectcost", [80])
+    ps.add("integer", "maxprims", [2])
+    accel = make_kdtree_accel(geom, ps)
+    ray = _random_rays(128, seed=11)
+    hit = accel.intersect(ray)
+    _, p_ref = t_pass_brute(geom, ray)
+    np.testing.assert_array_equal(np.asarray(p_ref) >= 0, np.asarray(hit.valid))
