@@ -92,11 +92,13 @@ def _occluded(scene: CompiledScene, p, wi, dist, valid, time=None):
 
 def estimate_direct(scene: CompiledScene, lobes: Lobes, frame: Frame,
                     p, wo, u_light, u1, u2, active, transmittance_fn=None,
-                    time=None):
+                    time=None, mis: bool = True):
     """One-light direct illumination with light-sampling MIS half.
 
     Returns [N, S]. The BSDF half of the MIS pair is folded into the
-    path loop's next-hit emission (see module docstring).
+    path loop's next-hit emission (see module docstring); callers that
+    do NOT add that half (bidirectional MLT, integrators/bidir.py) pass
+    mis=False to use the complete light-sampling-only estimator.
     transmittance_fn(p, wi, dist) -> [N, S] volumetric attenuation
     applied to the light sample (None = vacuum).
     """
@@ -111,8 +113,11 @@ def estimate_direct(scene: CompiledScene, lobes: Lobes, frame: Frame,
     occluded = _occluded(scene, p, ls.wi, ls.dist, usable, time=time)
     usable = usable & ~occluded
     # MIS weight (light strategy): delta lights get weight 1
-    bpdf = bsdf_pdf(lobes, frame, wo, ls.wi)
-    w = jnp.where(ls.is_delta, 1.0, power_heuristic(1.0, ls.pdf * pick_pmf, 1.0, bpdf))
+    if mis:
+        bpdf = bsdf_pdf(lobes, frame, wo, ls.wi)
+        w = jnp.where(ls.is_delta, 1.0, power_heuristic(1.0, ls.pdf * pick_pmf, 1.0, bpdf))
+    else:
+        w = jnp.ones(cos_i.shape, jnp.float32)
     contrib = f * ls.L * (cos_i * w / jnp.maximum(ls.pdf * pick_pmf, 1e-12))[..., None]
     if transmittance_fn is not None:
         contrib = contrib * transmittance_fn(p, ls.wi, ls.dist)
