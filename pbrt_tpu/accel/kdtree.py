@@ -55,6 +55,14 @@ def build_kdtree(geom: SceneGeom, isect_cost: float = 80.0,
     if max_depth <= 0:
         # reference kdtreeaccel.cpp: 8 + 1.3 * log2(N)
         max_depth = int(round(8 + 1.3 * np.log2(max(n, 1))))
+    if max_depth > MAX_DEPTH:
+        # the traversal short stack is MAX_DEPTH deep and silently drops
+        # pushes past it; never build deeper than we can traverse
+        from pbrt_tpu.core.error import warning
+
+        warning(f"kdtree maxdepth {max_depth} clamped to traversal stack "
+                f"depth {MAX_DEPTH}")
+        max_depth = MAX_DEPTH
 
     wlo = lo_p.min(0).astype(np.float64)
     whi = hi_p.max(0).astype(np.float64)
@@ -140,10 +148,13 @@ def build_kdtree(geom: SceneGeom, isect_cost: float = 80.0,
         flat = (lo_p[prims, axis] == pos) & (hi_p[prims, axis] == pos)
         below = prims[(lo_p[prims, axis] < pos) | flat]
         above = prims[(hi_p[prims, axis] > pos) | flat]
-        if len(below) == 0 or len(above) == 0 or \
-                len(below) == len(prims) and len(above) == len(prims):
+        if len(below) == len(prims) and len(above) == len(prims):
+            # degenerate: the plane separates nothing
             set_leaf(idx, prims)
             return idx
+        # An empty side is exactly what the empty-bonus rewards: recurse
+        # with an empty leaf for it to cut away the empty space (the
+        # reference creates the empty child too, kdtreeaccel.cpp).
         blo, bhi = nlo.copy(), nhi.copy()
         bhi[axis] = pos
         alo, ahi = nlo.copy(), nhi.copy()

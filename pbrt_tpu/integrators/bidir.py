@@ -163,6 +163,7 @@ def path_l_psamples(scene: CompiledScene, camera, film, u, max_depth: int,
         with_le=True)
 
     light_verts = []
+    l_valid0 = jnp.zeros((W,), bool)
     if bidirectional and scene.lights is not None:
         lb = CAM_DIMS + max_depth * DPB
         li, pmf = scene.light_dist.sample_discrete(u[:, lb])
@@ -234,8 +235,15 @@ def path_l_psamples(scene: CompiledScene, camera, film, u, max_depth: int,
         # diffuse-bounce emission is covered by the previous vertex's Ld)
         L = L + jnp.where((prev_spec & gate & vc.valid)[:, None],
                           vc.alpha * vc.le, 0.0)
-        wt_d = 1.0 / jnp.maximum(
-            (i + 1).astype(jnp.float32) - nspec[i + 1], 1.0)
+        # Bidirectional MIS weight for the direct strategy applies only
+        # to lanes that actually have a light subpath; unidirectional
+        # lanes (Tl == 0 or an invalid/black light sample) add Ld
+        # unweighted, mirroring the reference's Lpath vs Lbidir split
+        # (metropolis.cpp:325-330,383 vs :414-433).
+        wt_d = jnp.where(
+            l_valid0,
+            1.0 / jnp.maximum((i + 1).astype(jnp.float32) - nspec[i + 1], 1.0),
+            1.0)
         Ld = estimate_direct(
             scene, vc.lobes, vc.frame, vc.p, vc.wprev,
             u_i[:, 0], u_i[:, 1], u_i[:, 2], vc.valid & gate,

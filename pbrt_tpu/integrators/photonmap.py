@@ -95,7 +95,8 @@ def li_photonmap(scene: CompiledScene, ctx, ray: Ray, pixel, sidx,
         )
         Lc = lphoton_surface(ctx.caustic, lobes, frame, hit.p, wo,
                              ctx.n_used, ctx.max_dist2)
-        if ctx.final_gather and ctx.indirect is not None:
+        if (ctx.final_gather and ctx.indirect is not None
+                and ctx.radiance is not None):
             Li_ind = _final_gather(scene, ctx, lobes, frame, hit.p, wo,
                                    pixel, sidx, depth, seed)
         else:
@@ -127,41 +128,94 @@ def li_photonmap(scene: CompiledScene, ctx, ray: Ray, pixel, sidx,
 
 
 def _final_gather(scene, ctx, lobes, frame, p, wo, pixel, sidx, depth, seed):
-    """Final gather: BSDF-sampled rays whose hits are shaded from the
-    photon maps (reference photonmap.cpp:183-296, BSDF-sampling
-    strategy; the photon-cone second strategy is approximated by the
-    same estimator since both integrate the same incident field)."""
-    from pbrt_tpu.core.sampling import cosine_sample_hemisphere
+    """One-bounce final gather with the reference's two MIS-combined
+    strategies (photonmap.cpp:183-296): BSDF-sampled and
+    photon-cone-sampled gather rays, each shaded at its hit by the
+    NEAREST radiance photon's precomputed Lo (radiance map,
+    photonshooter.cpp:506-523) — not by re-estimating density from the
+    raw maps. Each strategy runs ctx.gather_samples rays (already the
+    reference's gatherSamples/2 split) inside ONE lax.scan body so the
+    XLA program holds a single gather-trace instance."""
+    import jax
+
+    from pbrt_tpu.core.sampling import power_heuristic, uniform_sample_cone
+    from pbrt_tpu.core.geometry import coordinate_system
+    from pbrt_tpu.materials.bsdf import bsdf_pdf, bsdf_sample
+    from pbrt_tpu.photon.map import knn_lookup, radiance_lookup
 
     N = p.shape[0]
-    n_g = max(1, ctx.gather_samples // 8)  # wavefront gather is per-lane
-    acc = jnp.zeros((N, S), jnp.float32)
-    for g in range(n_g):
-        u1 = iu(pixel, sidx, depth, 50 + 3 * g, seed)
-        u2 = iu(pixel, sidx, depth, 51 + 3 * g, seed)
-        wl = cosine_sample_hemisphere(u1, u2)
-        # flip into wo hemisphere
-        flip = (dot(wo, frame.ns) < 0)
-        wl = jnp.where(flip[..., None], wl * jnp.asarray([1.0, 1.0, -1.0]), wl)
-        wi = frame.to_world(wl)
-        gray = Ray(p + wi * RAY_EPS, wi, jnp.zeros((N,), jnp.float32),
-                   jnp.full((N,), BIG), jnp.zeros((N,), jnp.float32))
+    n_g = max(1, ctx.gather_samples)
+    cos_ga = ctx.cos_gather_angle
+    cone_pdf = 1.0 / (2.0 * jnp.pi * max(1.0 - cos_ga, 1e-6))
+
+    # nearby indirect photon directions for importance sampling
+    # (reference :193-207, nIndirSamplePhotons=50; the reference doubles
+    # the search radius until 50 are found — the grid gather uses a
+    # generous fixed radius instead and tolerates fewer)
+    N_IND = 50
+    res = knn_lookup(ctx.indirect, p, N_IND, ctx.max_dist2 * 16.0)
+    photon_dirs = res.wi                     # [N, K]
+    pd_valid = res.valid
+    n_pd = jnp.maximum(jnp.sum(pd_valid.astype(jnp.int32), -1), 1)
+
+    def photon_pdf_of(wi):
+        """pdf of photon-cone sampling producing wi (reference :229-235)."""
+        match = (jnp.einsum("nkj,nj->nk", photon_dirs, wi) > 0.999 * cos_ga)
+        cnt = jnp.sum((match & pd_valid).astype(jnp.float32), -1)
+        return cnt * cone_pdf / n_pd.astype(jnp.float32)
+
+    zf = jnp.zeros((N,), jnp.float32)
+
+    def shade_gather_hit(wi):
+        """Trace a gather ray; Lo at the hit from the radiance map."""
+        gray = Ray(p + wi * RAY_EPS, wi, zf, jnp.full((N,), BIG), zf)
         ghit = scene.intersect(gray)
-        gparams = eval_bsdf_params(scene, ghit)
-        globes = material_lobes(gparams)
-        gframe = make_frame(ghit)
-        # radiance leaving the gather hit toward -wi, from photon maps
-        Lr = (
-            lphoton_surface(ctx.indirect, globes, gframe, ghit.p, -wi,
-                            ctx.n_used, ctx.max_dist2 * 4.0)
-            + lphoton_surface(ctx.direct, globes, gframe, ghit.p, -wi,
-                              ctx.n_used, ctx.max_dist2 * 4.0)
-            + lphoton_surface(ctx.caustic, globes, gframe, ghit.p, -wi,
-                              ctx.n_used, ctx.max_dist2)
-        )
-        f = bsdf_f(lobes, frame, wo, wi)
-        cos_i = jnp.abs(dot(wi, frame.ns))
-        pdf = cos_i * INV_PI
-        contrib = f * Lr * (cos_i / jnp.maximum(pdf, 1e-9))[..., None]
-        acc = acc + jnp.where(ghit.valid[..., None], contrib, 0.0)
+        n_gather = jnp.where(dot(ghit.ns, -wi)[..., None] < 0.0,
+                             -ghit.ns, ghit.ns)
+        lo, found = radiance_lookup(ctx.radiance, ghit.p, n_gather)
+        return jnp.where((ghit.valid & found)[..., None], lo, 0.0), ghit.valid
+
+    def body(acc, g):
+        # --- strategy 1: BSDF sampling (reference :210-246)
+        bs = bsdf_sample(
+            lobes, frame, wo,
+            iu(pixel, sidx, depth, 50 + 8 * g, seed),
+            iu(pixel, sidx, depth, 51 + 8 * g, seed),
+            iu(pixel, sidx, depth, 52 + 8 * g, seed),
+            iu(pixel, sidx, depth, 53 + 8 * g, seed))
+        # reference samples BSDF_ALL & ~BSDF_SPECULAR: drop specular picks
+        ok1 = bs.valid & ~bs.is_specular & (bs.pdf > 1e-9) \
+            & ~spec.is_black(bs.f)
+        Lind1, hit1 = shade_gather_hit(bs.wi)
+        ppdf1 = photon_pdf_of(bs.wi)
+        wt1 = power_heuristic(n_g, bs.pdf, n_g, ppdf1)
+        c1 = bs.f * Lind1 * (jnp.abs(dot(bs.wi, frame.ns)) * wt1
+                             / jnp.maximum(bs.pdf, 1e-9))[..., None]
+        acc = acc + jnp.where((ok1 & hit1)[..., None], c1, 0.0)
+
+        # --- strategy 2: photon-cone sampling (reference :249-293)
+        u_c = iu(pixel, sidx, depth, 54 + 8 * g, seed)
+        pick = jnp.minimum((u_c * n_pd).astype(jnp.int32), n_pd - 1)
+        axis = jnp.take_along_axis(
+            photon_dirs,
+            jnp.broadcast_to(pick[:, None, None], (N, 1, 3)), 1)[:, 0]
+        vx, vy = coordinate_system(axis)
+        wl = uniform_sample_cone(
+            iu(pixel, sidx, depth, 55 + 8 * g, seed),
+            iu(pixel, sidx, depth, 56 + 8 * g, seed), cos_ga)
+        wi2 = wl[..., 0:1] * vx + wl[..., 1:2] * vy + wl[..., 2:3] * axis
+        fr2 = bsdf_f(lobes, frame, wo, wi2)
+        ok2 = (jnp.sum(pd_valid, -1) > 0) & ~spec.is_black(fr2)
+        Lind2, hit2 = shade_gather_hit(wi2)
+        ppdf2 = photon_pdf_of(wi2)
+        bpdf2 = bsdf_pdf(lobes, frame, wo, wi2)
+        wt2 = power_heuristic(n_g, ppdf2, n_g, bpdf2)
+        c2 = fr2 * Lind2 * (jnp.abs(dot(wi2, frame.ns)) * wt2
+                            / jnp.maximum(ppdf2, 1e-9))[..., None]
+        acc = acc + jnp.where((ok2 & hit2 & (ppdf2 > 1e-9))[..., None],
+                              c2, 0.0)
+        return acc, None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((N, S), jnp.float32),
+                          jnp.arange(n_g, dtype=jnp.int32))
     return acc / n_g

@@ -19,6 +19,7 @@ signature integrator). Per march step i over the volume span [t0, t1]:
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from pbrt_tpu.core import spectrum as spec
@@ -85,16 +86,26 @@ def li_photonvolume(scene: CompiledScene, ctx, ray: Ray, t_surf, pixel, sidx,
     u0 = iu(pixel, sidx, 0, 60, seed)
     n_lights = scene.n_lights
 
-    L = jnp.zeros((N, S), jnp.float32)
-    tau_acc = jnp.zeros((N, S), jnp.float32)
-    for i in range(n_steps):
+    # One compiled march body (lax.fori_loop): the body contains the
+    # full shadow traversal + transmittance sub-march + kNN lookup, so
+    # a Python unroll would replicate all of that n_steps times in the
+    # XLA program (multi-minute compiles on real scenes).
+    #
+    # The recurrence follows the reference EXACTLY (photonvolume.cpp
+    # :154-218): Tr is the PER-STEP transmittance exp(-tau(step)), and
+    #   Lv = sa*Lve*dt + ss*L_i*dt + Tr*Lv
+    # i.e. marching front-to-back, earlier samples are attenuated by
+    # the product of LATER step transmittances, and the returned *T is
+    # the final step's Tr (not the whole-span transmittance). That is
+    # what the reference renders; we reproduce it for image parity.
+    def body(i, carry):
+        L, tr, active = carry
         t = t0 + (i + u0) * dt
         p = ray.o + t[..., None] * d
         sa, ss, le, g = sigma_at(vol, p)
-        tau_acc = tau_acc + (sa + ss) * dt[..., None]
-        tr = jnp.exp(-tau_acc)
-        # emission
-        L = L + tr * sa * le * dt[..., None]
+        # per-step optical depth over [t - dt, t] (reference tauRay)
+        tr = jnp.where(active[..., None],
+                       jnp.exp(-(sa + ss) * dt[..., None]), tr)
         in_rainbow = rainbow_mask(vol, p)
 
         # single scattering from one light (:177-203)
@@ -107,7 +118,7 @@ def li_photonvolume(scene: CompiledScene, ctx, ray: Ray, t_surf, pixel, sidx,
                               light_idx.astype(jnp.int32), p,
                               iu(pixel, sidx, i, 62, seed),
                               iu(pixel, sidx, i, 63, seed))
-            occ = _shadow(scene, p, ls.wi, ls.dist, hit)
+            occ = _shadow(scene, p, ls.wi, ls.dist, hit & active)
             tr_light = transmittance(vol, p, ls.wi, ls.dist,
                                      max(4, n_steps // 4),
                                      iu(pixel, sidx, i, 64, seed))
@@ -118,7 +129,7 @@ def li_photonvolume(scene: CompiledScene, ctx, ray: Ray, t_surf, pixel, sidx,
             # phase-weighted direct term (:196-198). wo = -d (toward eye)
             Ld_rainbow = rainbow_reflection(Ld_raw, d, ls.wi)
             Ld = jnp.where(in_rainbow[..., None], Ld_rainbow, Ld_phase)
-            Ld = jnp.where((hit & ~occ)[..., None], Ld, 0.0)
+            Ld = jnp.where((hit & ~occ & active)[..., None], Ld, 0.0)
         else:
             Ld = jnp.zeros((N, S), jnp.float32)
 
@@ -129,8 +140,25 @@ def li_photonvolume(scene: CompiledScene, ctx, ray: Ray, t_surf, pixel, sidx,
         sig_s_y = jnp.sum(ss, -1) / S
         Lii = Lii / jnp.maximum(sig_s_y, 1e-9)[..., None]
         albedo = ss / jnp.maximum(sa + ss, 1e-9)
-        Lii_term = jnp.where((enough & ~in_rainbow)[..., None], albedo * Lii, 0.0)
+        Lii_term = jnp.where((enough & ~in_rainbow & active)[..., None],
+                             albedo * Lii, 0.0)
 
-        L = L + tr * ss * (Ld + Lii_term) * dt[..., None]
-    Tr = jnp.where(hit[..., None], jnp.exp(-tau_acc), ones)
+        # Lv = sa*Lve*dt + ss*(Ld + albedo*Lii)*dt + Tr*Lv  (:215)
+        src = (sa * le + ss * (Ld + Lii_term)) * dt[..., None]
+        L = jnp.where(active[..., None], src + tr * L, L)
+        # dynamic-march cutoff (reference :158-165): if the per-step
+        # transmittance drops below 1e-3 the reference Russian-roulettes
+        # the march (continueProb 0.5, Tr=0 + break on terminate);
+        # lockstep lanes deterministically terminate with Tr=0 — the
+        # RR outcomes differ from that by < 1e-3 in expectation.
+        cut = active & (spec.y(tr) < 1e-3)
+        tr = jnp.where(cut[..., None], 0.0, tr)
+        active = active & ~cut
+        return L, tr, active
+
+    L, tr_last, _ = jax.lax.fori_loop(
+        0, n_steps, body,
+        (jnp.zeros((N, S), jnp.float32), jnp.ones((N, S), jnp.float32),
+         jnp.ones((N,), bool)))
+    Tr = jnp.where(hit[..., None], tr_last, ones)
     return VolResult(L=jnp.where(hit[..., None], L, 0.0), Tr=Tr)

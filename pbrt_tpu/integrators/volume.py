@@ -112,11 +112,12 @@ def li_single(scene: CompiledScene, ray: Ray, t_surf, pixel, sidx,
     u0 = iu(pixel, sidx, 0, 40, seed)
     n_lights = scene.n_lights
 
-    L = jnp.zeros((N, S), jnp.float32)
-    tau_acc = jnp.zeros((N, S), jnp.float32)
-    # Python unroll: n_steps is small (<=128) and the body contains a
-    # light sample + shadow ray (traced against geometry).
-    for i in range(n_steps):
+    # One compiled march body shared by every step (lax.fori_loop):
+    # the body holds a light sample + shadow traversal + transmittance
+    # sub-march, so unrolling it n_steps times would multiply the XLA
+    # program by the whole traversal kernel.
+    def body(i, carry):
+        L, tau_acc = carry
         t = t0 + (i + u0) * dt
         p = ray.o + t[..., None] * d
         sa, ss, le, g = sigma_at(vol, p)
@@ -141,6 +142,11 @@ def li_single(scene: CompiledScene, ray: Ray, t_surf, pixel, sidx,
                 * dt[..., None]
             )
             L = L + jnp.where((hit & ~occ)[..., None], contrib, 0.0)
+        return L, tau_acc
+
+    L, tau_acc = jax.lax.fori_loop(
+        0, n_steps, body,
+        (jnp.zeros((N, S), jnp.float32), jnp.zeros((N, S), jnp.float32)))
     Tr = jnp.where(hit[..., None], jnp.exp(-tau_acc), ones)
     return VolResult(L=jnp.where(hit[..., None], L, 0.0), Tr=Tr)
 

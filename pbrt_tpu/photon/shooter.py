@@ -39,7 +39,13 @@ from pbrt_tpu.materials.bsdf import (
     has_specular,
     material_lobes,
 )
-from pbrt_tpu.photon.map import PhotonMap, build_photon_map
+from pbrt_tpu.photon.map import (
+    PhotonMap,
+    RadianceMap,
+    build_photon_map,
+    build_radiance_map,
+    ephoton,
+)
 from pbrt_tpu.samplers.samplers import integrator_uniform as iu
 from pbrt_tpu.scene.compile import CompiledScene, eval_bsdf_params
 from pbrt_tpu.volumes.registry import phase as vol_phase, sigma_at
@@ -56,6 +62,7 @@ class PhotonCtx:
     indirect: Optional[PhotonMap]
     volume: Optional[PhotonMap]
     direct: Optional[PhotonMap]
+    radiance: Optional["RadianceMap"]  # precomputed-Lo map (final gather)
     n_caustic_paths: int     # paths shot to fill each map (normalization,
     n_indirect_paths: int    # reference photonshooter.cpp:333 1/nshot)
     n_volume_paths: int
@@ -82,8 +89,12 @@ def _shoot_batch_fn(scene: CompiledScene, max_depth: int, has_volume: bool):
     world_rad = float(np.linalg.norm(scene.world_hi - scene.world_lo) * 0.5) + 1e-3
     vol = scene.volume
     if has_volume and vol is not None:
-        sig_max = float(np.max(np.asarray(vol.sigma_a + vol.sigma_s).sum(0).max()))
-        # majorant over the table; grid densities scale it
+        # majorant in the same scalarization as the acceptance test
+        # (y-weighted mean), over the sum of overlapping volumes; grid
+        # densities scale it
+        sig_spec = np.asarray(vol.sigma_a + vol.sigma_s).sum(0)  # [S]
+        y_ones = float(np.asarray(spec.y(np.ones((1, S), np.float32)))[0])
+        sig_max = float(np.asarray(spec.y(sig_spec[None, :]))[0]) / max(y_ones, 1e-12)
         gmax = float(np.max(np.asarray(vol.grid))) if np.asarray(vol.grid).size else 1.0
         sig_majorant = max(sig_max * max(gmax, 1.0), 1e-6)
     else:
@@ -112,6 +123,13 @@ def _shoot_batch_fn(scene: CompiledScene, max_depth: int, has_volume: bool):
         lam_nm = jnp.full((B,), -1.0, jnp.float32)
 
         rec_pos, rec_alpha, rec_wi, rec_cls = [], [], [], []
+        # radiance-photon candidates (reference photonshooter.cpp:178-187:
+        # 12.5% of deposited surface photons, with surface normal and
+        # hemispherical reflectances for the ComputeRadianceTask analog)
+        rec_n, rec_rho_r, rec_rho_t, rec_rp = [], [], [], []
+        z3 = jnp.zeros((B, 3), jnp.float32)
+        zS = jnp.zeros((B, S), jnp.float32)
+        fB = jnp.zeros((B,), bool)
 
         for depth in range(max_depth):
             hit = scene.intersect(Ray(ray_o, ray_d, zf, jnp.full((B,), BIG), zf))
@@ -124,6 +142,14 @@ def _shoot_batch_fn(scene: CompiledScene, max_depth: int, has_volume: bool):
                 t_try = vt0
                 interacted = jnp.zeros((B,), bool)
                 t_int = jnp.full((B,), BIG)
+                # Interaction distance vs the Y-WEIGHTED mean sigma_t,
+                # matching the reference exactly: followPhoton compares
+                # xi against Tr.y() (photonshooter.cpp:75), i.e. the
+                # CIE-Y-weighted transmittance, independent of the
+                # photon's own spectrum. y_norm makes a flat sigma map
+                # to itself.
+                y_norm = 1.0 / float(np.maximum(
+                    np.asarray(spec.y(np.ones((1, S), np.float32)))[0], 1e-12))
                 for wtrial in range(4):
                     u_ff = u(depth, 10 + 2 * wtrial)
                     step = -jnp.log(jnp.maximum(u_ff, 1e-12)) / sig_majorant
@@ -131,15 +157,13 @@ def _shoot_batch_fn(scene: CompiledScene, max_depth: int, has_volume: bool):
                     inside = vhit & (t_try < vt1) & ~interacted & alive
                     p_try = ray_o + t_try[..., None] * ray_d
                     sa_t, ss_t, _, _ = sigma_at(vol, p_try)
-                    sig_here = spec.y(sa_t + ss_t) / jnp.maximum(spec.y(jnp.ones((B, S))), 1e-12)
-                    sig_here = jnp.sum(sa_t + ss_t, -1) / S
+                    sig_here = spec.y(sa_t + ss_t) * y_norm
                     accept = inside & (u(depth, 11 + 2 * wtrial) * sig_majorant < sig_here)
                     t_int = jnp.where(accept & ~interacted, t_try, t_int)
                     interacted = interacted | accept
                 p_int = ray_o + t_int[..., None] * ray_d
                 sa_i, ss_i, _, g_i = sigma_at(vol, p_int)
-                sig_t = jnp.sum(sa_i + ss_i, -1) / S
-                albedo = jnp.sum(ss_i, -1) / jnp.maximum(jnp.sum(sa_i + ss_i, -1), 1e-12)
+                albedo = spec.y(ss_i) / jnp.maximum(spec.y(sa_i + ss_i), 1e-12)
                 # store volume photon for multiple scattering (n_inter >= 1:
                 # photon has interacted before; reference stores depth>1)
                 store_vol = interacted & (n_inter >= 1)
@@ -147,8 +171,16 @@ def _shoot_batch_fn(scene: CompiledScene, max_depth: int, has_volume: bool):
                 rec_alpha.append(jnp.where(store_vol[..., None], alpha, 0.0))
                 rec_wi.append(-ray_d)
                 rec_cls.append(jnp.where(store_vol, 4, 0).astype(jnp.int32))
-                # absorb-or-scatter (reference :88)
-                scatter = interacted & (u(depth, 18) < albedo)
+                rec_n.append(z3)
+                rec_rho_r.append(zS)
+                rec_rho_t.append(zS)
+                rec_rp.append(fB)
+                # absorb-or-scatter (reference :89: scatter iff
+                # u > albedo.y — NOTE the reference's comparison is
+                # inverted relative to textbook albedo-scattering and we
+                # reproduce it verbatim for image parity with the
+                # reference binary, which shot all its goldens this way)
+                scatter = interacted & (u(depth, 18) > albedo)
                 # resample direction uniformly, weight by phase (reference :98-126)
                 new_d = uniform_sample_sphere(u(depth, 19), u(depth, 20))
                 ph = vol_phase(g_i, -ray_d, new_d)
@@ -185,6 +217,16 @@ def _shoot_batch_fn(scene: CompiledScene, max_depth: int, has_volume: bool):
             rec_alpha.append(jnp.where(store_surf[..., None], alpha, 0.0))
             rec_wi.append(-ray_d)
             rec_cls.append(cls)
+            # radiance-photon candidate: 12.5% of deposits (reference
+            # :178-187); normal faceforward'd against the photon ray
+            n_ff = jnp.where(dot(hit.ns, -ray_d)[..., None] < 0.0,
+                             -hit.ns, hit.ns)
+            rho_r = lobes.diff_r + lobes.gloss + lobes.spec_r
+            rho_t = lobes.diff_t + lobes.gloss_t + lobes.spec_t
+            rec_n.append(n_ff)
+            rec_rho_r.append(rho_r)
+            rec_rho_t.append(rho_t)
+            rec_rp.append(store_surf & (u(depth, 37) < 0.125))
 
             if depth == max_depth - 1:
                 break
@@ -236,7 +278,11 @@ def _shoot_batch_fn(scene: CompiledScene, max_depth: int, has_volume: bool):
         al = jnp.stack(rec_alpha, 1)      # [B, D, S]
         wi = jnp.stack(rec_wi, 1)
         cls = jnp.stack(rec_cls, 1)
-        return pos, al, wi, cls
+        rn = jnp.stack(rec_n, 1)          # [B, D, 3]
+        rr = jnp.stack(rec_rho_r, 1)      # [B, D, S]
+        rt = jnp.stack(rec_rho_t, 1)      # [B, D, S]
+        rp = jnp.stack(rec_rp, 1)         # [B, D] bool
+        return pos, al, wi, cls, rn, rr, rt, rp
 
     return jax.jit(batch, static_argnames=())
 
@@ -273,11 +319,14 @@ def build_photon_maps(scene: CompiledScene, surf_params, vol_params,
         n_indirect = max(1, n_indirect // 8)
         n_volume = max(1, n_volume // 8) if n_volume else 0
         gather_samples = max(1, gather_samples // 4)
+    # reference RequestSamples (photonmap.cpp:147): each of the two MIS
+    # gather strategies gets gatherSamples/2 rays
+    gather_samples = max(1, gather_samples // 2)
 
     has_volume = scene.volume is not None and n_volume > 0
     if scene.lights is None or scene.n_lights == 0:
         warning("photon shooting with no lights; maps empty")
-        return PhotonCtx(None, None, None, None, 1, 1, 1, n_used,
+        return PhotonCtx(None, None, None, None, None, 1, 1, 1, n_used,
                          max_dist * max_dist, vol_n_used,
                          vol_max_dist * vol_max_dist, final_gather,
                          gather_samples,
@@ -285,18 +334,28 @@ def build_photon_maps(scene: CompiledScene, surf_params, vol_params,
                          max_spec, max_photon_depth)
 
     batch_fn = _shoot_batch_fn(scene, max_photon_depth, has_volume)
-    B = 4096  # reference block size (photonshooter.cpp:247)
+    # batch size scales with the quota (reference block is 4096,
+    # photonshooter.cpp:247; 5M-photon workloads need bigger launches
+    # to amortize the device->host sync per batch)
+    quota_total = n_caustic + n_indirect + n_volume
+    B = 4096 if quota_total <= 300_000 else 32768
     caus, ind, volp, direct = [], [], [], []
+    rps = []
     shots = 0
     shots_caus = shots_ind = shots_vol = None
     import time as _t
 
     t0 = _t.time()
-    max_batches = 256 if not quick else 32
+    # enough batches for the quota even at modest yields (the abort
+    # heuristic below still protects impossible scenes)
+    max_batches = max(64, int(np.ceil(quota_total * 6 / B)))
+    if quick:
+        max_batches = min(max_batches, max(32, int(np.ceil(quota_total * 4 / B))))
     for bi in range(max_batches):
         lane = jnp.arange(B, dtype=jnp.int32)
-        pos, al, wi, cls = batch_fn(lane, jnp.full((B,), shots, jnp.int32),
-                                    int(options.get("seed", 0)))
+        pos, al, wi, cls, rn, rr, rt, rp = batch_fn(
+            lane, jnp.full((B,), shots, jnp.int32),
+            int(options.get("seed", 0)))
         shots += B
         pos = np.asarray(pos).reshape(-1, 3)
         al = np.asarray(al).reshape(-1, S)
@@ -308,6 +367,12 @@ def build_photon_maps(scene: CompiledScene, surf_params, vol_params,
             m = nz & (cls == code)
             if m.any():
                 acc.append((pos[m], al[m], wi[m]))
+        if final_gather:
+            rpm = np.asarray(rp).reshape(-1) & nz
+            if rpm.any():
+                rps.append((pos[rpm], np.asarray(rn).reshape(-1, 3)[rpm],
+                            np.asarray(rr).reshape(-1, S)[rpm],
+                            np.asarray(rt).reshape(-1, S)[rpm]))
         nc = sum(len(a[0]) for a in caus)
         ni = sum(len(a[0]) for a in ind)
         nv = sum(len(a[0]) for a in volp)
@@ -333,19 +398,28 @@ def build_photon_maps(scene: CompiledScene, surf_params, vol_params,
     shots_ind = shots_ind or shots
     shots_vol = shots_vol or shots
 
-    def mk(acc, cell, limit, nshot):
+    def mk(acc, cell, limit, nshot, k):
         if not acc:
             return None
         p = np.concatenate([a[0] for a in acc])[:limit]
         a = np.concatenate([a[1] for a in acc])[:limit] / max(nshot, 1)
         w = np.concatenate([a2[2] for a2 in acc])[:limit]
-        return build_photon_map(p, a, w, cell)
+        return build_photon_map(p, a, w, cell, target_k=k)
+
+    caustic_m = mk(caus, max_dist, n_caustic, shots_caus, n_used)
+    indirect_m = mk(ind, max_dist * 2.0, n_indirect, shots_ind, n_used)
+    volume_m = mk(volp, vol_max_dist, max(n_volume, 1), shots_vol, vol_n_used)
+    direct_m = mk(direct, max_dist * 2.0, n_indirect, shots_ind, n_used)
+
+    radiance_m = None
+    if final_gather and rps:
+        radiance_m = _compute_radiance_map(
+            rps, caustic_m, indirect_m, direct_m, n_used,
+            max_dist * max_dist, cell=max_dist * 2.0)
 
     ctx = PhotonCtx(
-        caustic=mk(caus, max_dist, n_caustic, shots_caus),
-        indirect=mk(ind, max_dist * 2.0, n_indirect, shots_ind),
-        volume=mk(volp, vol_max_dist, max(n_volume, 1), shots_vol),
-        direct=mk(direct, max_dist * 2.0, n_indirect, shots_ind),
+        caustic=caustic_m, indirect=indirect_m, volume=volume_m,
+        direct=direct_m, radiance=radiance_m,
         n_caustic_paths=shots_caus, n_indirect_paths=shots_ind,
         n_volume_paths=shots_vol,
         n_used=n_used, max_dist2=max_dist * max_dist,
@@ -357,5 +431,47 @@ def build_photon_maps(scene: CompiledScene, surf_params, vol_params,
     info(f"photon maps: caustic={0 if ctx.caustic is None else ctx.caustic.count} "
          f"indirect={0 if ctx.indirect is None else ctx.indirect.count} "
          f"volume={0 if ctx.volume is None else ctx.volume.count} "
+         f"radiance={0 if ctx.radiance is None else ctx.radiance.count} "
          f"({shots} paths)")
     return ctx
+
+
+def _compute_radiance_map(rps, caustic_m, indirect_m, direct_m,
+                          n_lookup: int, max_dist2: float, cell: float):
+    """ComputeRadianceTask analog (reference photonshooter.cpp:359-395):
+    for each radiance-photon candidate, estimate irradiance E from the
+    direct+indirect+caustic maps on both hemispheres and precompute
+    Lo = INV_PI * (rho_r * E(n) + rho_t * E(-n)). Batched on device."""
+    p = np.concatenate([r[0] for r in rps])
+    n = np.concatenate([r[1] for r in rps])
+    rho_r = np.concatenate([r[2] for r in rps])
+    rho_t = np.concatenate([r[3] for r in rps])
+
+    @jax.jit
+    def lo_batch(pb, nb, rrb, rtb):
+        def e_all(nn):
+            return (ephoton(direct_m, pb, nn, n_lookup, max_dist2)
+                    + ephoton(indirect_m, pb, nn, n_lookup, max_dist2)
+                    + ephoton(caustic_m, pb, nn, n_lookup, max_dist2))
+
+        inv_pi = 1.0 / jnp.pi
+        return inv_pi * (rrb * e_all(nb) + rtb * e_all(-nb))
+
+    CH = 16384
+    los = []
+    for s in range(0, len(p), CH):
+        e = slice(s, s + CH)
+        pb, nb = p[e], n[e]
+        rrb, rtb = rho_r[e], rho_t[e]
+        pad = CH - len(pb)
+        if pad and len(p) > CH:  # pad the tail chunk: one jit shape
+            pb = np.concatenate([pb, np.zeros((pad, 3), np.float32)])
+            nb = np.concatenate([nb, np.zeros((pad, 3), np.float32)])
+            rrb = np.concatenate([rrb, np.zeros((pad, S), np.float32)])
+            rtb = np.concatenate([rtb, np.zeros((pad, S), np.float32)])
+        out = np.asarray(lo_batch(jnp.asarray(pb), jnp.asarray(nb),
+                                  jnp.asarray(rrb), jnp.asarray(rtb)))
+        los.append(out[:len(p[e])])
+    lo = np.concatenate(los) if los else np.zeros((0, S), np.float32)
+    info(f"radiance map: {len(p)} photons")
+    return build_radiance_map(p, lo, n, cell)

@@ -77,8 +77,20 @@ def _make_transmittance_fn(scene: CompiledScene, n_steps: int):
         return None
 
     def fn(p, wi, dist):
-        # offset jitter tied to position hash for determinism
-        u = jnp.zeros(p.shape[0], jnp.float32) + 0.5
+        # offset jitter from a position hash: deterministic per shading
+        # point, decorrelated across points (reference uses the camera
+        # sample's 1D slot; we have no sample stream here, so hash p).
+        import jax
+
+        bits = jax.lax.bitcast_convert_type(
+            jnp.asarray(p, jnp.float32) * 4096.0, jnp.uint32)
+        h = bits[:, 0] * jnp.uint32(0x9E3779B9)
+        h ^= bits[:, 1] * jnp.uint32(0x85EBCA6B)
+        h ^= bits[:, 2] * jnp.uint32(0xC2B2AE35)
+        h ^= h >> 16
+        h *= jnp.uint32(0x7FEB352D)
+        h ^= h >> 15
+        u = (h >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
         return vol_int.transmittance(scene.volume, p, wi, dist, n_steps, u)
 
     return fn

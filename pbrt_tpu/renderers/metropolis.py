@@ -84,8 +84,10 @@ def render_metropolis(scene, ro, film, camera, options=None):
     direct_w = jnp.zeros((film.ny, film.nx), jnp.float32)
     has_direct_pass = False
     if skip_direct:
+        # the reference's embedded DirectLightingIntegrator is built with
+        # the MLT maxdepth (metropolis.cpp:501), not its own default
         direct_xyz, direct_w = _render_direct_pass(
-            scene, film, camera, max(1, n_direct), seed)
+            scene, film, camera, max(1, n_direct), seed, max_depth)
         has_direct_pass = True
 
     # --- bootstrap: estimate b = E[luminance] over uniform psamples
@@ -97,8 +99,10 @@ def render_metropolis(scene, ro, film, camera, options=None):
 
     n_boot_batches = max(1, n_bootstrap // W)
     ys = []
+    boot_keys = []
     for i in range(n_boot_batches):
         key, k = jax.random.split(key)
+        boot_keys.append(k)
         ys.append(np.asarray(bootstrap_batch(k)))
     ys = np.concatenate(ys)
     b = float(np.mean(ys))
@@ -111,9 +115,25 @@ def render_metropolis(scene, ro, film, camera, options=None):
             return film_mod.write_image(film, state, 0.0)
         return film_mod.to_rgb(film, state, 0.0)
 
-    # --- seed chains from the bootstrap distribution (resample by weight)
-    key, k = jax.random.split(key)
-    u0 = jax.random.uniform(k, (W, D))
+    # --- seed chains from the bootstrap distribution: resample W seed
+    # vectors with probability proportional to path luminance (the
+    # reference walks the luminance CDF to pick its single seed,
+    # metropolis.cpp:596-608; W lockstep chains resample W seeds from
+    # the same distribution). u vectors are regenerated from the stored
+    # batch keys rather than kept resident.
+    key, ksel = jax.random.split(key)
+    probs = ys.astype(np.float64)
+    probs /= probs.sum()
+    idx = np.asarray(jax.random.choice(
+        ksel, ys.shape[0], (W,), p=jnp.asarray(probs, jnp.float32)))
+    u0_np = np.empty((W, D), np.float32)
+    batch_ids = idx // W
+    rows = idx % W
+    for bi in np.unique(batch_ids):
+        ub = np.asarray(jax.random.uniform(boot_keys[int(bi)], (W, D)))
+        sel = batch_ids == bi
+        u0_np[sel] = ub[rows[sel]]
+    u0 = jnp.asarray(u0_np)
 
     @jax.jit
     def mlt_step(chain, k, state_splat):
@@ -165,8 +185,13 @@ def render_metropolis(scene, ro, film, camera, options=None):
         chain, splat = mlt_step(chain, k, splat)
         progress("Metropolis", step + 1, n_steps, t0)
 
-    # normalization: each splat unit represents b / totalSamplesPerPixel
-    splat_scale = b / max(spp, 1) * (total_mutations / (n_steps * W * 2.0)) * 2.0
+    # Normalization (reference metropolis.cpp:737,744 pre-scales each
+    # splat by b/nPixelSamples with nPixels*nPixelSamples total
+    # mutations; we scale at write time instead): each of the
+    # n_steps*W executed mutations splats unit (L/y)-normalized weight,
+    # so the per-pixel expected splat mass is (n_steps*W)/nPixels and
+    # the estimator I = b * E[L/y] needs scale b*nPixels/(n_steps*W).
+    splat_scale = b * n_pix / float(n_steps * W)
     state = film_mod.FilmState(xyz=direct_xyz, weight=direct_w, splat=splat)
     if has_direct_pass:
         info("metropolis: direct pass + chain splats combined")
@@ -175,7 +200,8 @@ def render_metropolis(scene, ro, film, camera, options=None):
     return film_mod.to_rgb(film, state, splat_scale)
 
 
-def _render_direct_pass(scene, film, camera, spp: int, seed: int):
+def _render_direct_pass(scene, film, camera, spp: int, seed: int,
+                        max_depth: int = 5):
     """Direct-lighting pre-pass through the AddSample path (reference
     metropolis.cpp doDirectSeparately: an embedded DirectLightingIntegrator
     rendered with an LDSampler at directsamples spp)."""
@@ -201,8 +227,8 @@ def _render_direct_pass(scene, film, camera, spp: int, seed: int):
                                        cs.u_time)
         sidx = jnp.tile(jnp.arange(spp_p2, dtype=jnp.int32),
                         pix_ids.shape[0])
-        L = li_direct(scene, ray, cs.pixel, sidx, max_depth=5, seed=seed,
-                      strategy="all")
+        L = li_direct(scene, ray, cs.pixel, sidx, max_depth=max_depth,
+                      seed=seed, strategy="all")
         L = jnp.nan_to_num(L, nan=0.0, posinf=0.0, neginf=0.0)
         st = film_mod.FilmState(xyz=xyz, weight=w,
                                 splat=jnp.zeros((1, 1, 3), jnp.float32))

@@ -186,5 +186,10 @@ def integrator_uniform(pixel, sample_idx, depth: int, dim: int, seed: int = 0):
         ^ (jnp.asarray(sample_idx, jnp.uint32) * jnp.uint32(0x9E3779B9))
         ^ (jnp.asarray(seed, jnp.uint32) * jnp.uint32(0x51633E2D))
     )
-    h = _wang_hash(base ^ jnp.uint32((depth * 0x68BC21EB + dim * 0x02E5BE93) & 0xFFFFFFFF))
+    # depth/dim may be traced int32 (lax.scan/fori_loop over march steps
+    # or gather samples): do the mixing in uint32 — identical mod-2^32
+    # arithmetic to the Python-int path, so streams are unchanged.
+    dmix = (jnp.asarray(depth, jnp.uint32) * jnp.uint32(0x68BC21EB)
+            + jnp.asarray(dim, jnp.uint32) * jnp.uint32(0x02E5BE93))
+    h = _wang_hash(base ^ dmix)
     return (h >> jnp.uint32(8)).astype(jnp.float32) * (1.0 / (1 << 24))

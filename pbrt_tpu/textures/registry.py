@@ -409,11 +409,12 @@ class ImageMapTexture(Texture):
         if key in ImageMapTexture._cache:
             img = ImageMapTexture._cache[key]
         else:
-            from pbrt_tpu.io.imageio import read_image
-
             try:
+                from pbrt_tpu.io.image import read_image
+
                 img = read_image(filename).astype(np.float32)
-            except (OSError, ValueError) as e:
+            except (OSError, ValueError, ImportError, KeyError,
+                    NotImplementedError) as e:
                 warning(f'Couldn\'t read image "{filename}": {e}; using grey')
                 img = np.full((1, 1, 3), 0.5, np.float32)
             if gamma != 1.0:

@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import List, NamedTuple, Optional, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from pbrt_tpu.core import spectrum as spec
@@ -242,12 +243,15 @@ def tau(vol: VolumeT, ray_o, ray_d, t0, t1, n_steps: int, u_offset):
     """
     length = jnp.maximum(t1 - t0, 0.0)
     dt = length / n_steps
-    acc = jnp.zeros(ray_o.shape[:-1] + (S,), jnp.float32)
-    for i in range(n_steps):
+
+    def body(i, acc):
         t = t0 + (i + u_offset) * dt
         p = ray_o + t[..., None] * ray_d
         sa, ss, _, _ = sigma_at(vol, p)
-        acc = acc + (sa + ss)
+        return acc + (sa + ss)
+
+    acc = jax.lax.fori_loop(
+        0, n_steps, body, jnp.zeros(ray_o.shape[:-1] + (S,), jnp.float32))
     return acc * dt[..., None]
 
 
