@@ -540,15 +540,27 @@ def t_pass_bvh(bvh: BVH, geom: SceneGeom, ray: Ray, any_hit: bool = False):
 
 
 class BvhScene(NamedTuple):
-    """Geometry + acceleration: BVH for big scenes, Pallas blocked
-    brute-force for the rest (on TPU the [rays x tris] VPU sweep beats
-    pointer-chasing traversal far past pbrt's leaf sizes)."""
+    """Geometry + acceleration. On TPU, triangle-heavy scenes use the
+    packet-traversal pipeline (accel/wide_bvh.py + ops/bvh_pallas.py):
+    coherence-sorted ray tiles, dense frustum culling over wide leaf
+    blocks, and a Pallas Moller-Trumbore sweep. Smaller scenes use the
+    flat blocked Pallas kernel; the pure-jnp short-stack BVH remains
+    the portable fallback (CPU tests, motion blur)."""
 
     geom: SceneGeom
     bvh: Optional[BVH]
     tri_soa: object = None   # ops.intersect_pallas.TriSoA when on TPU
+    wide: object = None      # accel.wide_bvh.WideBVH when on TPU
 
     def _t_pass(self, ray: Ray, any_hit: bool = False):
+        if self.wide is not None:
+            from pbrt_tpu.accel.intersect import _quad_t_pass
+            from pbrt_tpu.ops.bvh_pallas import wide_t_pass
+
+            t, prim = wide_t_pass(self.wide, ray.o, ray.d, ray.tmin, ray.tmax)
+            if self.geom.n_quads > 0:
+                t, prim = _quad_t_pass(self.geom, ray, t, prim)
+            return t, prim
         if self.bvh is not None:
             return t_pass_bvh(self.bvh, self.geom, ray, any_hit=any_hit)
         if self.tri_soa is not None:
@@ -574,20 +586,33 @@ class BvhScene(NamedTuple):
 
 
 def make_accel(geom: SceneGeom, split_method: str = "sah",
-               bvh_threshold: int = 32768, force: str = "") -> BvhScene:
+               bvh_threshold: int = 32768, force: str = "",
+               wide_threshold: int = 8192) -> BvhScene:
     """Pick the acceleration strategy for a compiled scene."""
+    from pbrt_tpu.ops.intersect_pallas import pallas_available
+
     n_prims = geom.n_tris + geom.n_quads
     tri_soa = None
     bvh = None
+    wide = None
+    on_tpu = pallas_available()
+    # TPU packet pipeline for triangle-heavy static scenes
+    if (force in ("", "wide") and on_tpu and not geom.has_motion
+            and geom.n_tris >= (1 if force == "wide" else wide_threshold)):
+        narrow = build_bvh(geom, split_method)
+        if narrow is not None:
+            from pbrt_tpu.accel.wide_bvh import build_wide_bvh
+
+            wide = build_wide_bvh(narrow, geom)
+        if wide is not None:
+            return BvhScene(geom=geom, bvh=None, tri_soa=None, wide=wide)
     use_bvh = force == "bvh" or (force != "flat" and n_prims > bvh_threshold)
     if use_bvh and n_prims > 0:
         bvh = build_bvh(geom, split_method)
     else:
-        from pbrt_tpu.ops.intersect_pallas import pallas_available
-
         # the Pallas flat kernel has no motion path; motion scenes use the
         # jnp block scan (still vectorized, just not hand-tiled)
-        if pallas_available() and geom.n_tris > 0 and not geom.has_motion:
+        if on_tpu and geom.n_tris > 0 and not geom.has_motion:
             from pbrt_tpu.ops.intersect_pallas import TriSoA
 
             tri_soa = TriSoA(geom.tri_v0, geom.tri_e1, geom.tri_e2)

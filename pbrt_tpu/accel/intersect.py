@@ -68,6 +68,9 @@ class SceneGeom(NamedTuple):
     tri_dv0: jnp.ndarray = None   # [T, 3]
     tri_de1: jnp.ndarray = None   # [T, 3]
     tri_de2: jnp.ndarray = None   # [T, 3]
+    # alpha masking: per-tri row into CompiledScene.alpha_textures
+    # (-1 = opaque); None when the scene has no alpha textures
+    tri_alpha: jnp.ndarray = None  # [T] int32
     quad_o2w_end: jnp.ndarray = None  # [Q, 4, 4] end-of-shutter transform
     quad_w2o_end: jnp.ndarray = None  # [Q, 4, 4] its inverse (host-computed)
     time0: float = 0.0            # shutter open  (transform keyframe times)

@@ -229,9 +229,12 @@ def _li_path_impl(scene: CompiledScene, ray: Ray, u_fn, max_depth: int,
     # Depth loop is a Python unroll: each bounce evaluates the (small)
     # closed material set; XLA fuses the per-bounce bodies.
     for depth in range(max_depth + 1):
+        # dead lanes get an empty [0, -1] interval: the accelerators
+        # skip them entirely (the packet pipeline sorts them into
+        # all-dead tiles that trace nothing)
         hit = scene.intersect(Ray(st.ray_o, st.ray_d,
                                   jnp.zeros((N,), jnp.float32),
-                                  jnp.full((N,), BIG), tm))
+                                  jnp.where(st.alive, BIG, -1.0), tm))
         first = depth == 0
         L = _add_hit_emission(scene, st, hit, first)
         st = st._replace(L=L)
@@ -343,9 +346,12 @@ def _li_direct_or_whitted(scene, ray, pixel, sidx, max_depth, seed, strategy,
     )
     tm = ray.time
     for depth in range(max_depth + 1):
+        # dead lanes get an empty [0, -1] interval: the accelerators
+        # skip them entirely (the packet pipeline sorts them into
+        # all-dead tiles that trace nothing)
         hit = scene.intersect(Ray(st.ray_o, st.ray_d,
                                   jnp.zeros((N,), jnp.float32),
-                                  jnp.full((N,), BIG), tm))
+                                  jnp.where(st.alive, BIG, -1.0), tm))
         st = st._replace(L=_add_hit_emission(scene, st, hit, depth == 0))
         escaped = st.alive & ~hit.valid
         st = st._replace(L=_add_escape_emission(scene, st, escaped, True))

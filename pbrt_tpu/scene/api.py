@@ -414,6 +414,18 @@ def pbrt_shape(name, params):
             _state.cur_transform.t[1],
             _state.render_options.transform_end_time,
         )
+    # "alpha" masking param (reference shapes/trianglemesh.cpp:379-437):
+    # either a named float texture or a constant float
+    alpha_tex = None
+    tex_name = params.find_texture("alpha")
+    if tex_name:
+        alpha_tex = gs.float_textures.get(tex_name)
+        if alpha_tex is None:
+            warning(f'Couldn\'t find float texture "{tex_name}" for "alpha"')
+    else:
+        a = params.find_float("alpha")
+        if a is not None and len(a):
+            alpha_tex = float(a[0])
     rec = ShapeRecord(
         kind=name,
         params=params,
@@ -423,6 +435,7 @@ def pbrt_shape(name, params):
         material=gs.create_material(params),
         area_light=area_light,
         animated=animated,
+        alpha_tex=alpha_tex,
     )
     if _state.current_instance is not None:
         if area_light is not None:

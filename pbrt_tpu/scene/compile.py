@@ -12,6 +12,7 @@ from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from pbrt_tpu.core import spectrum as spec
@@ -57,15 +58,67 @@ class CompiledScene:
     accel: object = None                   # BvhScene (set in compile_scene)
     meas_tables: object = None             # [T,TH,TD,PD,3] measured BRDFs
     meas_index: dict = field(default_factory=dict)  # id(material) -> table row
+    alpha_textures: list = field(default_factory=list)  # alpha masks
+
+    # how many alpha-masked layers a single ray can punch through
+    # (the reference's recursive skip is unbounded; 4 covers real scenes)
+    ALPHA_LAYERS = 4
 
     @property
     def n_lights(self) -> int:
         return 0 if self.lights is None else int(self.lights.kind.shape[0])
 
+    def _alpha_of(self, hit):
+        """[R] alpha at each hit (1.0 for prims with no alpha texture).
+        Reference shapes/trianglemesh.cpp:379-437: alpha evaluated at
+        the hit's differential geometry; 0 means the hit is discarded."""
+        from pbrt_tpu.textures.registry import ShadingGeom
+
+        T = self.geom.n_tris
+        is_tri = hit.valid & (hit.prim >= 0) & (hit.prim < max(T, 1))
+        ai = jnp.where(is_tri,
+                       self.geom.tri_alpha[jnp.clip(hit.prim, 0, max(T - 1, 0))],
+                       -1)
+        a = jnp.ones(hit.t.shape, jnp.float32)
+        sg = ShadingGeom.at(hit.p, hit.uv)
+        for k, tex in enumerate(self.alpha_textures):
+            if isinstance(tex, float):
+                v = jnp.full_like(a, tex)
+            else:
+                v = jnp.broadcast_to(
+                    jnp.asarray(tex.eval(sg), jnp.float32), a.shape)
+            a = jnp.where(ai == k, v, a)
+        return a
+
+    def _intersect_alpha(self, ray):
+        """Closest hit skipping alpha==0 surfaces: bounded re-trace with
+        tmin advanced past each masked hit."""
+        from pbrt_tpu.core.geometry import Ray as _Ray
+
+        hit = self.accel.intersect(ray)
+        tmin = ray.tmin
+        for _ in range(self.ALPHA_LAYERS):
+            a = self._alpha_of(hit)
+            masked = hit.valid & (a <= 0.0)
+            tmin = jnp.where(masked, hit.t * (1.0 + 1e-4) + 1e-5, tmin)
+            hit2 = self.accel.intersect(
+                _Ray(ray.o, ray.d, tmin, ray.tmax, ray.time))
+
+            def sel(new, old, m=masked):
+                mm = m.reshape(m.shape + (1,) * (new.ndim - m.ndim))
+                return jnp.where(mm, new, old)
+
+            hit = jax.tree_util.tree_map(sel, hit2, hit)
+        return hit
+
     def intersect(self, ray):
+        if self.alpha_textures and self.geom.tri_alpha is not None:
+            return self._intersect_alpha(ray)
         return self.accel.intersect(ray)
 
     def intersect_p(self, ray):
+        if self.alpha_textures and self.geom.tri_alpha is not None:
+            return self._intersect_alpha(ray).valid
         return self.accel.intersect_p(ray)
 
 
@@ -92,7 +145,9 @@ def compile_scene(ro: RenderOptions, accel_threshold: int = 64) -> CompiledScene
 
     tri_v0, tri_e1, tri_e2 = [], [], []
     tri_n, tri_has_n, tri_uv = [], [], []
-    tri_mat, tri_light = [], []
+    tri_mat, tri_light, tri_alpha = [], [], []
+    alpha_textures: list = []          # unique alpha textures/constants
+    alpha_index: Dict[int, int] = {}   # id(tex) -> row
     tri_dv0, tri_de1, tri_de2 = [], [], []  # motion-blur vertex deltas
     quads: List[Tuple[QuadricData, int, int]] = []  # (data, mat, light)
     quad_o2w_end: List[np.ndarray] = []
@@ -120,6 +175,14 @@ def compile_scene(ro: RenderOptions, accel_threshold: int = 64) -> CompiledScene
         # world-delta: v_end = delta @ v_start for already-baked vertices
         delta = (o2w_end.m @ np.linalg.inv(o2w.m)).astype(np.float64)
         mi = _material_index(srec.material, materials, mat_index)
+        # alpha-texture masking row (reference trianglemesh.cpp:379-437)
+        ai = -1
+        if srec.alpha_tex is not None:
+            key = id(srec.alpha_tex)
+            if key not in alpha_index:
+                alpha_index[key] = len(alpha_textures)
+                alpha_textures.append(srec.alpha_tex)
+            ai = alpha_index[key]
         li = -1
         if srec.area_light is not None:
             p = srec.area_light.params
@@ -171,6 +234,7 @@ def compile_scene(ro: RenderOptions, accel_threshold: int = 64) -> CompiledScene
                 tri_uv.append(np.tile(default_uv[None], (len(idx), 1, 1)))
             tri_mat.append(np.full(len(idx), mi, np.int32))
             tri_light.append(np.full(len(idx), li, np.int32))
+            tri_alpha.append(np.full(len(idx), ai, np.int32))
             if li >= 0:
                 e1, e2 = v1 - v0, v2 - v0
                 areas = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
@@ -267,6 +331,8 @@ def compile_scene(ro: RenderOptions, accel_threshold: int = 64) -> CompiledScene
         tri_v0=jnp.asarray(TV0), tri_e1=jnp.asarray(TE1), tri_e2=jnp.asarray(TE2),
         tri_n=jnp.asarray(TN), tri_has_n=jnp.asarray(THN), tri_uv=jnp.asarray(TUV),
         tri_mat=jnp.asarray(TM), tri_light=jnp.asarray(TL),
+        tri_alpha=(jnp.asarray(np.concatenate(tri_alpha))
+                   if (alpha_textures and tri_alpha) else None),
         quad_type=jnp.asarray([q.qtype for q, _, _ in quads], jnp.int32),
         quad_o2w=jnp.asarray(np.stack([q.o2w for q, _, _ in quads]) if quads else np.zeros((0, 4, 4), np.float32)),
         quad_w2o=jnp.asarray(np.stack([q.w2o for q, _, _ in quads]) if quads else np.zeros((0, 4, 4), np.float32)),
@@ -337,6 +403,7 @@ def compile_scene(ro: RenderOptions, accel_threshold: int = 64) -> CompiledScene
         volume=volume, volume_records=list(ro.volume_regions),
         world_lo=world_lo, world_hi=world_hi, accel=accel,
         meas_tables=meas_tables, meas_index=meas_index,
+        alpha_textures=alpha_textures,
     )
 
 

@@ -56,6 +56,10 @@ class ShapeRecord:
     material: Optional[MaterialRecord]
     area_light: Optional[AreaLightRecord] = None
     animated: Optional[AnimatedTransform] = None  # TransformedPrimitive analog
+    # alpha-texture masking (reference shapes/trianglemesh.cpp:379-437):
+    # a texture object (resolved from the graphics state at Shape time)
+    # or a constant float; None = fully opaque
+    alpha_tex: object = None
 
 
 @dataclass

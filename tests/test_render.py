@@ -130,3 +130,54 @@ def test_whitted_mirror(tmp_path):
     # mirror sphere reflects the red floor: red channel dominates somewhere
     center = rgb[14:20, 12:22]
     assert center.max() > 0.0
+
+
+def test_alpha_texture_masking():
+    """Reference shapes/trianglemesh.cpp:379-437: hits where the alpha
+    texture evaluates to 0 are discarded (the ray passes through)."""
+    import jax.numpy as jnp
+    from pbrt_tpu.scene import api
+    from pbrt_tpu.scene.paramset import ParamSet
+    from pbrt_tpu.scene.compile import compile_scene
+    from pbrt_tpu.core.geometry import Ray
+
+    def build(alpha_value):
+        api._state.__init__()
+        api.pbrt_init({"quiet": True})
+        api.pbrt_world_begin()
+        # front quad at z=1 with alpha, back quad at z=2 opaque
+        mp = ParamSet()
+        mp.add("rgb", "Kd", [0.5, 0.5, 0.5])
+        api.pbrt_material("matte", mp)
+        front = ParamSet()
+        front.add("point", "P", [-1, -1, 1, 1, -1, 1, 1, 1, 1, -1, 1, 1])
+        front.add("integer", "indices", [0, 1, 2, 0, 2, 3])
+        if alpha_value is not None:
+            front.add("float", "alpha", [alpha_value])
+        api.pbrt_shape("trianglemesh", front)
+        back = ParamSet()
+        back.add("point", "P", [-1, -1, 2, 1, -1, 2, 1, 1, 2, -1, 1, 2])
+        back.add("integer", "indices", [0, 1, 2, 0, 2, 3])
+        api.pbrt_shape("trianglemesh", back)
+        scene = compile_scene(api.get_state().render_options)
+        api._state.__init__()
+        return scene
+
+    o = jnp.asarray([[0.0, 0.0, 0.0]])
+    d = jnp.asarray([[0.0, 0.0, 1.0]])
+    ray = Ray(o, d, jnp.zeros(1), jnp.full((1,), jnp.inf), jnp.zeros(1))
+
+    hit_opaque = build(None).intersect(ray)
+    assert float(hit_opaque.t[0]) == pytest.approx(1.0, abs=1e-3)
+
+    hit_masked = build(0.0).intersect(ray)
+    assert bool(hit_masked.valid[0])
+    assert float(hit_masked.t[0]) == pytest.approx(2.0, abs=1e-3), \
+        "alpha=0 front surface must be skipped"
+
+    hit_kept = build(1.0).intersect(ray)
+    assert float(hit_kept.t[0]) == pytest.approx(1.0, abs=1e-3)
+
+    # intersect_p follows the same rule (reference IntersectP alpha test)
+    assert bool(build(0.0).intersect_p(
+        Ray(o, d, jnp.zeros(1), jnp.full((1,), 1.5), jnp.zeros(1)))) is False
