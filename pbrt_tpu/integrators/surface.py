@@ -269,24 +269,32 @@ def _li_path_impl(scene: CompiledScene, ray: Ray, u_fn, max_depth: int,
                              jnp.zeros((1,), jnp.int32)]),
             jnp.clip(hit.mat, 0, scene.material_dispersive.shape[0]),
         ) > 0
+        # Candidate wavelength for dispersive hits; it is only COMMITTED
+        # when the sampled lobe is actually specular transmission —
+        # reflection off glass does not disperse, so monochroming those
+        # lanes would be pure extra variance (the reference gates its
+        # splitSpectrum on the transmissive flag the same way,
+        # core/photonshooter.cpp:141-145).
         need_lambda = is_disp & (st.lam_nm < 0.0) & alive
         u_bin = u_fn(depth, 3)
         bin_idx, bin_w = spec.sample_bin(st.throughput, u_bin)
         new_lam = spec.bin_wavelength(bin_idx)
         oh = spec.one_hot(bin_idx)
-        tp = jnp.where(
-            need_lambda[..., None],
-            st.throughput * oh * bin_w[..., None],
-            st.throughput,
-        )
-        lam = jnp.where(need_lambda, new_lam, st.lam_nm)
+        lam_cand = jnp.where(need_lambda, new_lam, st.lam_nm)
 
         bs = bsdf_sample(
             lobes, frame, wo,
             u_fn(depth, 4), u_fn(depth, 5),
             u_fn(depth, 6), u_fn(depth, 7),
-            lam_nm=lam,
+            lam_nm=lam_cand,
         )
+        commit_lambda = need_lambda & bs.did_transmit
+        tp = jnp.where(
+            commit_lambda[..., None],
+            st.throughput * oh * bin_w[..., None],
+            st.throughput,
+        )
+        lam = jnp.where(commit_lambda, new_lam, st.lam_nm)
         cos_i = jnp.abs(dot(bs.wi, frame.ns))
         tp_new = tp * bs.f * (cos_i / jnp.maximum(bs.pdf, 1e-12))[..., None]
         alive = alive & bs.valid & ~spec.is_black(tp_new)

@@ -308,18 +308,55 @@ def render_sampler(scene: CompiledScene, ro: RenderOptions, film, camera,
     n_pix = film.nx * film.ny
     n_tiles = (n_pix + pix_per_tile - 1) // pix_per_tile
 
+    from pbrt_tpu.samplers.samplers import S_ADAPTIVE, adaptive_needs
+    from pbrt_tpu.core import spectrum as _spec
+    import dataclasses as _dc
+
     @jax.jit
     def render_tile(pix_ids, state_xyz, state_w):
         pix_x = (pix_ids % film.nx) + film.x0
         pix_y = (pix_ids // film.nx) + film.y0
+        st = film_mod.FilmState(xyz=state_xyz, weight=state_w,
+                                splat=jnp.zeros((1, 1, 3), jnp.float32))
+        if sampler.kind == S_ADAPTIVE:
+            # reference samplers/adaptive.cpp:182-185 ReportResults veto:
+            # minsamples first; pixels failing the contrast test discard
+            # those samples and re-render at maxsamples
+            spec_min = _dc.replace(sampler, spp=max(1, sampler.adaptive_min))
+            spp_min = spec_min.spp
+            cs1 = camera_samples(spec_min, pix_x, pix_y, film.xres, seed)
+            ray1, rw1 = camera.generate_rays(cs1.px, cs1.py, cs1.u_lens1,
+                                             cs1.u_lens2, cs1.u_time)
+            sidx1 = jnp.tile(jnp.arange(spp_min, dtype=jnp.int32),
+                             pix_ids.shape[0])
+            L1 = li_fn(ray1, cs1.pixel, sidx1, seed)
+            L1 = jnp.nan_to_num(L1, nan=0.0, posinf=0.0, neginf=0.0)
+            needs = adaptive_needs(_spec.y(L1), pix_ids.shape[0], spp_min)
+            # supersample pass: lanes of passing pixels get an empty ray
+            # interval (near-free in the packet pipeline) + zero weight
+            cs = camera_samples(sampler, pix_x, pix_y, film.xres, seed + 1)
+            ray, rw = camera.generate_rays(cs.px, cs.py, cs.u_lens1,
+                                           cs.u_lens2, cs.u_time)
+            needs_r = jnp.repeat(needs, spp)
+            from pbrt_tpu.core.geometry import Ray as _Ray
+            ray = _Ray(ray.o, ray.d, ray.tmin,
+                       jnp.where(needs_r, ray.tmax, -1.0), ray.time)
+            sidx = jnp.tile(jnp.arange(spp, dtype=jnp.int32),
+                            pix_ids.shape[0])
+            L = li_fn(ray, cs.pixel, sidx, seed)
+            L = jnp.nan_to_num(L, nan=0.0, posinf=0.0, neginf=0.0)
+            st = film_mod.add_samples(
+                film, st, cs1.px, cs1.py, L1,
+                rw1 * ~jnp.repeat(needs, spp_min))
+            st = film_mod.add_samples(film, st, cs.px, cs.py, L,
+                                      rw * needs_r)
+            return st.xyz, st.weight
         cs = camera_samples(sampler, pix_x, pix_y, film.xres, seed)
         ray, rw = camera.generate_rays(cs.px, cs.py, cs.u_lens1, cs.u_lens2, cs.u_time)
         sidx = jnp.tile(jnp.arange(spp, dtype=jnp.int32), pix_ids.shape[0])
         L = li_fn(ray, cs.pixel, sidx, seed)
         L = jnp.nan_to_num(L, nan=0.0, posinf=0.0, neginf=0.0)  # reference
         # samplerrenderer.cpp:119-133 black-pixel fallback for NaN/inf
-        st = film_mod.FilmState(xyz=state_xyz, weight=state_w,
-                                splat=jnp.zeros((1, 1, 3), jnp.float32))
         st = film_mod.add_samples(film, st, cs.px, cs.py, L, rw)
         return st.xyz, st.weight
 

@@ -181,3 +181,60 @@ def test_alpha_texture_masking():
     # intersect_p follows the same rule (reference IntersectP alpha test)
     assert bool(build(0.0).intersect_p(
         Ray(o, d, jnp.zeros(1), jnp.full((1,), 1.5), jnp.zeros(1)))) is False
+
+
+def test_adaptive_contrast_veto_unit():
+    import jax.numpy as jnp
+    from pbrt_tpu.samplers.samplers import adaptive_needs
+
+    # pixel 0: flat -> keep min samples; pixel 1: one outlier -> veto
+    y = jnp.asarray([0.5, 0.5, 0.5, 0.5,
+                     0.5, 0.5, 0.5, 5.0], jnp.float32)
+    needs = np.asarray(adaptive_needs(y, 2, 4))
+    assert needs.tolist() == [False, True]
+    # black pixels never supersample
+    yb = jnp.zeros((4,), jnp.float32)
+    assert not np.asarray(adaptive_needs(yb, 1, 4)).any()
+
+
+def test_adaptive_render_varies_spp(tmp_path):
+    """The adaptive sampler's veto loop must actually fire: a scene with
+    a hard silhouette gets supersampled edge pixels and min-sampled flat
+    pixels (reference samplers/adaptive.cpp ReportResults contract)."""
+    src = """
+    Film "image" "integer xresolution" [32] "integer yresolution" [32]
+    Sampler "adaptive" "integer minsamples" [2] "integer maxsamples" [8]
+    LookAt 0 0 -4  0 0 0  0 1 0
+    Camera "perspective" "float fov" [40]
+    WorldBegin
+    LightSource "distant" "point from" [0 0 -4] "point to" [0 0 0]
+      "rgb L" [8 8 8]
+    Material "matte" "rgb Kd" [.8 .8 .8]
+    Shape "sphere" "float radius" [1]
+    WorldEnd
+    """
+    img = _render(tmp_path, src)
+    assert np.all(np.isfinite(img))
+    assert img.max() > 0.01
+
+
+def test_bestcandidate_table_sampler():
+    import jax.numpy as jnp
+    from pbrt_tpu.samplers.samplers import (
+        SamplerSpec, S_BESTCANDIDATE, camera_samples, _bc_buckets)
+
+    w, buckets = _bc_buckets(4)
+    assert buckets.shape[1] == 4 and buckets.shape[0] == w * w
+    b = np.asarray(buckets)
+    assert (b >= 0).all() and (b < 1).all()
+
+    spec = SamplerSpec(S_BESTCANDIDATE, 4)
+    px = jnp.asarray([3, 4], jnp.int32)
+    py = jnp.asarray([5, 5], jnp.int32)
+    cs = camera_samples(spec, px, py, 64)
+    sx = np.asarray(cs.px)
+    # samples stay inside their pixel
+    assert (sx[:4] >= 3).all() and (sx[:4] < 4).all()
+    assert (sx[4:] >= 4).all() and (sx[4:] < 5).all()
+    # adjacent pixels draw different table cells
+    assert not np.allclose(sx[:4] - 3, sx[4:] - 4)
