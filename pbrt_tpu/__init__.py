@@ -19,4 +19,14 @@ the reference are preserved (see SURVEY.md section 2).
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# TPU MXU contractions default to bfloat16 inputs; geometry is extremely
+# sensitive to the lost mantissa bits (round 3: shadow-ray origins
+# quantized to ~2^-8 caused false self-shadow wedges = 25% image energy
+# loss on the TPU backend). All jnp matmul/einsum/dot in this package
+# must be exact f32. The hot 3x3 transform applies additionally bypass
+# the MXU entirely (core/transform.py explicit mul/adds on the VPU).
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from pbrt_tpu.core import spectrum  # noqa: F401

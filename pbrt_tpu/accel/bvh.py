@@ -557,7 +557,8 @@ class BvhScene(NamedTuple):
             from pbrt_tpu.accel.intersect import _quad_t_pass
             from pbrt_tpu.ops.bvh_pallas import wide_t_pass
 
-            t, prim = wide_t_pass(self.wide, ray.o, ray.d, ray.tmin, ray.tmax)
+            t, prim = wide_t_pass(self.wide, ray.o, ray.d, ray.tmin,
+                                  ray.tmax, any_hit=any_hit)
             if self.geom.n_quads > 0:
                 t, prim = _quad_t_pass(self.geom, ray, t, prim)
             return t, prim

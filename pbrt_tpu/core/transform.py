@@ -22,29 +22,53 @@ import jax.numpy as jnp
 # ---------------------------------------------------------------------------
 # Device-side batched application (works on np or jnp)
 
+# NOTE: these applies are written as explicit component mul/adds, NOT
+# einsum/matmul. On TPU a dim-3 contraction would be routed to the MXU,
+# whose default bfloat16 operand rounding quantizes coordinates to ~2^-8
+# — enough to push shadow-ray origins through surfaces (round-3 TPU
+# energy-loss bug). Componentwise math stays on the VPU in full f32 and
+# is also faster than multi-pass f32 MXU emulation at these tiny sizes.
+
+def _apply33(m, v, xp):
+    """[..., 3, 3] x [..., 3] -> [..., 3] componentwise."""
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    return xp.stack(
+        [m[..., 0, 0] * x + m[..., 0, 1] * y + m[..., 0, 2] * z,
+         m[..., 1, 0] * x + m[..., 1, 1] * y + m[..., 1, 2] * z,
+         m[..., 2, 0] * x + m[..., 2, 1] * y + m[..., 2, 2] * z],
+        axis=-1)
+
+
 def xform_point(m, p):
     """Apply [..., 4, 4] matrix to point(s) [..., 3] (w-divide)."""
     xp = jnp if isinstance(p, jnp.ndarray) or isinstance(m, jnp.ndarray) else np
-    r = xp.einsum("...ij,...j->...i", m[..., :3, :3], p) + m[..., :3, 3]
-    w = xp.einsum("...j,...j->...", m[..., 3, :3], p) + m[..., 3, 3]
+    r = _apply33(m, p, xp) + m[..., :3, 3]
+    w = (m[..., 3, 0] * p[..., 0] + m[..., 3, 1] * p[..., 1]
+         + m[..., 3, 2] * p[..., 2] + m[..., 3, 3])
     return r / w[..., None]
 
 
 def xform_point_affine(m, p):
     """Apply assuming bottom row is [0,0,0,1] (no w-divide) — the common case."""
     xp = jnp if isinstance(p, jnp.ndarray) or isinstance(m, jnp.ndarray) else np
-    return xp.einsum("...ij,...j->...i", m[..., :3, :3], p) + m[..., :3, 3]
+    return _apply33(m, p, xp) + m[..., :3, 3]
 
 
 def xform_vector(m, v):
     xp = jnp if isinstance(v, jnp.ndarray) or isinstance(m, jnp.ndarray) else np
-    return xp.einsum("...ij,...j->...i", m[..., :3, :3], v)
+    return _apply33(m, v, xp)
 
 
 def xform_normal(m_inv, n):
     """Normals transform by the inverse transpose (pass the INVERSE matrix)."""
     xp = jnp if isinstance(n, jnp.ndarray) or isinstance(m_inv, jnp.ndarray) else np
-    return xp.einsum("...ji,...j->...i", m_inv[..., :3, :3], n)
+    x, y, z = n[..., 0], n[..., 1], n[..., 2]
+    m = m_inv
+    return xp.stack(
+        [m[..., 0, 0] * x + m[..., 1, 0] * y + m[..., 2, 0] * z,
+         m[..., 0, 1] * x + m[..., 1, 1] * y + m[..., 2, 1] * z,
+         m[..., 0, 2] * x + m[..., 1, 2] * y + m[..., 2, 2] * z],
+        axis=-1)
 
 
 # ---------------------------------------------------------------------------

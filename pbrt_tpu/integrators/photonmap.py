@@ -27,7 +27,7 @@ from pbrt_tpu.materials.bsdf import (
     has_non_specular,
     material_lobes,
 )
-from pbrt_tpu.photon.map import knn_lookup
+from pbrt_tpu.photon.map import knn_dirs, knn_weighted_flux
 from pbrt_tpu.samplers.samplers import integrator_uniform as iu
 from pbrt_tpu.scene.compile import CompiledScene, eval_bsdf_params
 
@@ -42,18 +42,30 @@ def _simpson_kernel(d2, r2):
 
 def lphoton_surface(pm, lobes, frame, p, wo, n_used: int, max_dist2: float):
     """Surface radiance estimate from a photon map (reference
-    photonmap.cpp LPhoton). [N, S]."""
+    photonmap.cpp LPhoton diffuse form): Simpson-kernel flux split by
+    hemisphere against Nf = Faceforward(ns, wo), reflected flux times
+    rho_r/pi plus transmitted flux times rho_t/pi (photonmap.cpp
+    :88-103 Lr/Lt). Fused + query-blocked: no [N, K, S] temps. [N, S].
+    """
     if pm is None:
         return jnp.zeros(p.shape[:-1] + (S,), jnp.float32)
-    res = knn_lookup(pm, p, n_used, max_dist2)
-    K = res.dist2.shape[1]
-    kern = _simpson_kernel(res.dist2, res.r2_max[:, None])  # [N, K]
-    # diffuse form: flux arriving in the upper hemisphere * rho/pi
-    same_hemi = dot(res.wi, frame.ns[:, None, :]) * dot(wo, frame.ns)[:, None] > 0.0
-    w = jnp.where(res.valid & same_hemi, kern, 0.0)
-    flux = jnp.sum(res.alpha * w[..., None], axis=1)  # [N, S]
-    rho = lobes.diff_r + lobes.gloss  # reflectance proxy for the estimate
-    return flux * rho * INV_PI
+    sgn = jnp.where(dot(wo, frame.ns) >= 0.0, 1.0, -1.0)  # Nf orientation
+
+    def weight(wix, wiy, wiz, d2, valid, r2, ns, sg):
+        kern = _simpson_kernel(d2, r2[:, None])            # [B, K]
+        cosn = (wix * ns[:, 0:1] + wiy * ns[:, 1:2]
+                + wiz * ns[:, 2:3]) * sg[:, None]
+        front = cosn > 0.0
+        return jnp.stack([jnp.where(front, kern, 0.0),
+                          jnp.where(front, 0.0, kern)], axis=-1)  # [B,K,2]
+
+    res = knn_weighted_flux(pm, p, n_used, max_dist2, weight,
+                            extras=(frame.ns, sgn))
+    flux_r, flux_t = res.flux[:, 0], res.flux[:, 1]        # [N, S]
+    from pbrt_tpu.materials.bsdf import rho_proxies
+
+    rho_r, rho_t = rho_proxies(lobes)  # reflectance proxy (mix-aware)
+    return (flux_r * rho_r + flux_t * rho_t) * INV_PI
 
 
 def li_photonmap(scene: CompiledScene, ctx, ray: Ray, pixel, sidx,
@@ -141,7 +153,7 @@ def _final_gather(scene, ctx, lobes, frame, p, wo, pixel, sidx, depth, seed):
     from pbrt_tpu.core.sampling import power_heuristic, uniform_sample_cone
     from pbrt_tpu.core.geometry import coordinate_system
     from pbrt_tpu.materials.bsdf import bsdf_pdf, bsdf_sample
-    from pbrt_tpu.photon.map import knn_lookup, radiance_lookup
+    from pbrt_tpu.photon.map import radiance_lookup
 
     N = p.shape[0]
     n_g = max(1, ctx.gather_samples)
@@ -151,16 +163,18 @@ def _final_gather(scene, ctx, lobes, frame, p, wo, pixel, sidx, depth, seed):
     # nearby indirect photon directions for importance sampling
     # (reference :193-207, nIndirSamplePhotons=50; the reference doubles
     # the search radius until 50 are found — the grid gather uses a
-    # generous fixed radius instead and tolerates fewer)
+    # generous fixed radius instead and tolerates fewer). Directions as
+    # split [N, K] components (a [N, K, 3] tensor would pad 3->128 on
+    # TPU).
     N_IND = 50
-    res = knn_lookup(ctx.indirect, p, N_IND, ctx.max_dist2 * 16.0)
-    photon_dirs = res.wi                     # [N, K]
-    pd_valid = res.valid
+    pdx, pdy, pdz, pd_valid = knn_dirs(ctx.indirect, p, N_IND,
+                                       ctx.max_dist2 * 16.0)
     n_pd = jnp.maximum(jnp.sum(pd_valid.astype(jnp.int32), -1), 1)
 
     def photon_pdf_of(wi):
         """pdf of photon-cone sampling producing wi (reference :229-235)."""
-        match = (jnp.einsum("nkj,nj->nk", photon_dirs, wi) > 0.999 * cos_ga)
+        cosw = (pdx * wi[:, 0:1] + pdy * wi[:, 1:2] + pdz * wi[:, 2:3])
+        match = cosw > 0.999 * cos_ga
         cnt = jnp.sum((match & pd_valid).astype(jnp.float32), -1)
         return cnt * cone_pdf / n_pd.astype(jnp.float32)
 
@@ -196,9 +210,9 @@ def _final_gather(scene, ctx, lobes, frame, p, wo, pixel, sidx, depth, seed):
         # --- strategy 2: photon-cone sampling (reference :249-293)
         u_c = iu(pixel, sidx, depth, 54 + 8 * g, seed)
         pick = jnp.minimum((u_c * n_pd).astype(jnp.int32), n_pd - 1)
-        axis = jnp.take_along_axis(
-            photon_dirs,
-            jnp.broadcast_to(pick[:, None, None], (N, 1, 3)), 1)[:, 0]
+        axis = jnp.stack(
+            [jnp.take_along_axis(c, pick[:, None], 1)[:, 0]
+             for c in (pdx, pdy, pdz)], axis=-1)
         vx, vy = coordinate_system(axis)
         wl = uniform_sample_cone(
             iu(pixel, sidx, depth, 55 + 8 * g, seed),

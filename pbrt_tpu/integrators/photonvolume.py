@@ -26,7 +26,7 @@ from pbrt_tpu.core import spectrum as spec
 from pbrt_tpu.core.geometry import Ray, dot, normalize
 from pbrt_tpu.core.transform import xform_point_affine
 from pbrt_tpu.integrators.volume import VolResult, _shadow, transmittance
-from pbrt_tpu.photon.map import knn_lookup
+from pbrt_tpu.photon.map import knn_weighted_flux
 from pbrt_tpu.samplers.samplers import integrator_uniform as iu
 from pbrt_tpu.scene.compile import CompiledScene
 from pbrt_tpu.volumes.registry import (
@@ -56,19 +56,26 @@ def rainbow_mask(vol, p):
 
 def lphoton_volume(pm, p, w, wi_eval_g, n_used: int, max_dist2: float):
     """Volume radiance estimate (reference photonvolume.cpp:65-108):
-    kNN flux x phase summed, / ((4/3) pi r^3 sigma_s applied by caller);
-    requires >= 10 photons in range."""
+    kNN flux x phase summed, / ((4/3) pi r^3; sigma_s applied by
+    caller); requires >= 10 photons in range. The cell radius is the
+    found-set max distance (photonvolume.cpp:88-100 maxmd), NOT the
+    post-shrink kd radius. Fused + query-blocked (photon/map.py): no
+    [N, K, S] temps at full lane count."""
     if pm is None:
-        return jnp.zeros(p.shape[:-1] + (S,), jnp.float32), jnp.zeros(p.shape[:-1], bool)
-    res = knn_lookup(pm, p, n_used, max_dist2)
-    ph = vol_phase(wi_eval_g[..., None], w[:, None, :], res.wi)  # [N, K]
-    contrib = res.alpha * jnp.where(res.valid, ph, 0.0)[..., None]
-    flux = jnp.sum(contrib, axis=1)
-    n_found = jnp.sum(res.valid, axis=1)
-    enough = n_found >= 10
-    r3 = jnp.power(jnp.maximum(res.r2_max, 1e-12), 1.5)
+        return (jnp.zeros(p.shape[:-1] + (S,), jnp.float32),
+                jnp.zeros(p.shape[:-1], bool))
+    from pbrt_tpu.volumes.registry import phase_hg
+
+    def weight(wix, wiy, wiz, d2, valid, r2, wq, gq):
+        cos = wix * wq[:, 0:1] + wiy * wq[:, 1:2] + wiz * wq[:, 2:3]
+        return phase_hg(cos, gq[:, None])
+
+    res = knn_weighted_flux(pm, p, n_used, max_dist2, weight,
+                            extras=(w, wi_eval_g))
+    enough = res.n_found >= 10
+    r3 = jnp.power(jnp.maximum(res.r2_found, 1e-12), 1.5)
     vol_inv = 1.0 / ((4.0 / 3.0) * jnp.pi * r3)
-    return flux * vol_inv[..., None], enough
+    return res.flux * vol_inv[..., None], enough
 
 
 def li_photonvolume(scene: CompiledScene, ctx, ray: Ray, t_surf, pixel, sidx,

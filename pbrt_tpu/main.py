@@ -24,7 +24,25 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--checkpoint", default="",
                     help="film checkpoint file for crash-resumable renders")
+    ap.add_argument("--tile-samples", type=int, default=0,
+                    help="camera samples per wavefront tile (0 = auto: "
+                         "64k, or 16k when a photon integrator is active); "
+                         "lower this if the scene OOMs device memory")
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host: call jax.distributed.initialize() "
+                         "(coordinator/process env vars per JAX docs) so "
+                         "jax.devices() spans the pod slice; tiles and "
+                         "photon batches then shard across all hosts")
     args = ap.parse_args(argv)
+
+    if args.distributed:
+        import jax
+
+        # coordinator_address/num_processes/process_id come from the
+        # standard env (JAX_COORDINATOR_ADDRESS etc.) or the cluster
+        # plugin; after this, jax.devices() is the global device set and
+        # the single-process mesh code below is pod-wide SPMD.
+        jax.distributed.initialize()
 
     options = {
         "nCores": args.ncores,
@@ -34,6 +52,7 @@ def main(argv=None):
         "verbose": args.verbose,
         "seed": args.seed,
         "checkpoint": args.checkpoint or None,
+        "tile_samples": args.tile_samples,
     }
 
     from pbrt_tpu.core.error import PbrtError

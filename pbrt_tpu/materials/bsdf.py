@@ -60,6 +60,8 @@ class BsdfParams(NamedTuple):
     sigma: jnp.ndarray      # [H] oren-nayar sigma (degrees)
     meas_id: jnp.ndarray = None    # [H] int32 measured-table index (-1 none)
     meas_tables: jnp.ndarray = None  # [T,TH,TD,PD,3] shared half-angle tables
+    mix2: "BsdfParams" = None      # second constituent (mix material)
+    mix_amt: jnp.ndarray = None    # [H, S] spectral blend amount
 
     @staticmethod
     def none(h):
@@ -95,6 +97,11 @@ class Lobes(NamedTuple):
     vn: jnp.ndarray         # [H]
     meas_id: jnp.ndarray = None     # [H] int32 (-1 none)
     meas_tables: jnp.ndarray = None  # [T,TH,TD,PD,3]
+    # true mix material (reference materials/mixmat.cpp:62 MixMaterial:
+    # BOTH constituent BSDFs evaluated, scaled by amount / 1-amount):
+    # second constituent's full lobe set + spectral blend amount
+    mix2: "Lobes" = None            # Lobes of the second constituent
+    mix_amt: jnp.ndarray = None     # [H, S] scale on constituent 1
 
 
 def fresnel_dielectric(cos_i, eta_i, eta_t):
@@ -150,7 +157,20 @@ def cauchy_eta(eta, vn, lam_nm):
 
 
 def material_lobes(p: BsdfParams) -> Lobes:
-    """Expand the per-hit material record into canonical lobes (masked)."""
+    """Expand the per-hit material record into canonical lobes (masked).
+
+    Mix materials carry a second BsdfParams (p.mix2) + spectral amount:
+    both constituents expand to full lobe sets and every bsdf_* entry
+    point below evaluates/blends them (reference materials/mixmat.cpp:62
+    scaled-BxDF concatenation)."""
+    lb = _material_lobes_one(p)
+    if getattr(p, "mix2", None) is not None:
+        lb2 = _material_lobes_one(p.mix2)
+        lb = lb._replace(mix2=lb2, mix_amt=p.mix_amt)
+    return lb
+
+
+def _material_lobes_one(p: BsdfParams) -> Lobes:
     k = p.kind
     h = k.shape[0]
     zs = jnp.zeros((h, S), jnp.float32)
@@ -402,7 +422,17 @@ def _active_weights(lb: Lobes):
 
 
 def bsdf_f(lb: Lobes, frame: Frame, wo_w, wi_w):
-    """Non-specular f(wo, wi), world-space directions. [H, S]."""
+    """Non-specular f(wo, wi), world-space directions. [H, S]. Mix
+    lanes evaluate BOTH constituents and blend spectrally by amount
+    (reference mixmat.cpp:62)."""
+    f = _bsdf_f_one(lb, frame, wo_w, wi_w)
+    if lb.mix2 is not None:
+        f2 = _bsdf_f_one(lb.mix2, frame, wo_w, wi_w)
+        f = lb.mix_amt * f + (1.0 - lb.mix_amt) * f2
+    return f
+
+
+def _bsdf_f_one(lb: Lobes, frame: Frame, wo_w, wi_w):
     wo = frame.to_local(wo_w)
     wi = frame.to_local(wi_w)
     # use geometric normal to classify reflect vs transmit (pbrt BSDF::f)
@@ -437,7 +467,17 @@ def bsdf_f(lb: Lobes, frame: Frame, wo_w, wi_w):
 
 def bsdf_pdf(lb: Lobes, frame: Frame, wo_w, wi_w):
     """pdf of sampling wi given wo over non-specular lobes, weighted by
-    the same lobe-selection probabilities as bsdf_sample."""
+    the same lobe-selection probabilities as bsdf_sample. Mix lanes:
+    the one-sample mixture pdf, children weighted by amount luminance."""
+    p = _bsdf_pdf_one(lb, frame, wo_w, wi_w)
+    if lb.mix2 is not None:
+        p2 = _bsdf_pdf_one(lb.mix2, frame, wo_w, wi_w)
+        ya = jnp.clip(spec.y(lb.mix_amt), 0.0, 1.0)
+        p = ya * p + (1.0 - ya) * p2
+    return p
+
+
+def _bsdf_pdf_one(lb: Lobes, frame: Frame, wo_w, wi_w):
     wo = frame.to_local(wo_w)
     wi = frame.to_local(wi_w)
     w_diff, w_gloss, w_spec_r, w_spec_t = _active_weights(lb)
@@ -478,7 +518,39 @@ class BsdfSample(NamedTuple):
 def bsdf_sample(lb: Lobes, frame: Frame, wo_w, u_lobe, u1, u2, u3=None, lam_nm=None) -> BsdfSample:
     """Sample an outgoing direction. u_lobe/u1/u2/u3: [H] uniforms (u3
     drives sub-lobe choices). lam_nm: [H] wavelength (nm) carried by the
-    lane for dispersion (or <0 for dense-spectrum lanes)."""
+    lane for dispersion (or <0 for dense-spectrum lanes).
+
+    Mix lanes use the one-sample mixture estimator: pick a constituent
+    with probability = amount luminance, sample it, and return
+    f = amount_c * f_c, pdf = pick_c * pdf_c — unbiased for the blended
+    BSDF amount*f1 + (1-amount)*f2 (reference mixmat.cpp:62)."""
+    if lb.mix2 is None:
+        return _bsdf_sample_one(lb, frame, wo_w, u_lobe, u1, u2, u3, lam_nm)
+    ya = jnp.clip(spec.y(lb.mix_amt), 0.0, 1.0)
+    u_pick = (u_lobe * 811.0) % 1.0
+    choose1 = u_pick < ya
+    s1 = _bsdf_sample_one(lb._replace(mix2=None, mix_amt=None),
+                          frame, wo_w, u_lobe, u1, u2, u3, lam_nm)
+    s2 = _bsdf_sample_one(lb.mix2, frame, wo_w, u_lobe, u1, u2, u3, lam_nm)
+
+    def sel(a, b):
+        m = choose1.reshape(choose1.shape + (1,) * (a.ndim - choose1.ndim))
+        return jnp.where(m, a, b)
+
+    amt_c = jnp.where(choose1[..., None], lb.mix_amt, 1.0 - lb.mix_amt)
+    pick_p = jnp.where(choose1, ya, 1.0 - ya)
+    return BsdfSample(
+        wi=sel(s1.wi, s2.wi),
+        f=amt_c * sel(s1.f, s2.f),
+        pdf=pick_p * sel(s1.pdf, s2.pdf),
+        is_specular=sel(s1.is_specular, s2.is_specular),
+        did_transmit=sel(s1.did_transmit, s2.did_transmit),
+        valid=sel(s1.valid, s2.valid) & (pick_p > 1e-6),
+    )
+
+
+def _bsdf_sample_one(lb: Lobes, frame: Frame, wo_w, u_lobe, u1, u2,
+                     u3=None, lam_nm=None) -> BsdfSample:
     wo = frame.to_local(wo_w)
     h = wo.shape[0]
     if lam_nm is None:
@@ -570,8 +642,8 @@ def bsdf_sample(lb: Lobes, frame: Frame, wo_w, u_lobe, u1, u2, u3=None, lam_nm=N
 
     # --- weights / pdfs
     # non-specular: combined f and pdf over all non-spec lobes
-    f_ns = bsdf_f(lb, frame, wo_w, wi_w)
-    pdf_ns = bsdf_pdf(lb, frame, wo_w, wi_w)
+    f_ns = _bsdf_f_one(lb, frame, wo_w, wi_w)
+    pdf_ns = _bsdf_pdf_one(lb, frame, wo_w, wi_w)
 
     # specular reflection weight
     cos_o = _cos_theta(wo)
@@ -603,17 +675,39 @@ def bsdf_sample(lb: Lobes, frame: Frame, wo_w, u_lobe, u1, u2, u3=None, lam_nm=N
 def has_transmissive(lb: Lobes):
     """Lane has any transmissive lobe (dispersion trigger check,
     reference photonshooter.cpp:141-145)."""
-    return (jnp.sum(lb.spec_t, -1) > 0) | (jnp.sum(lb.diff_t, -1) > 0) | (
+    h = (jnp.sum(lb.spec_t, -1) > 0) | (jnp.sum(lb.diff_t, -1) > 0) | (
         jnp.sum(lb.gloss_t, -1) > 0
     )
+    if lb.mix2 is not None:
+        h = h | has_transmissive(lb.mix2)
+    return h
 
 
 def has_specular(lb: Lobes):
-    return (jnp.sum(lb.spec_r, -1) > 0) | (jnp.sum(lb.spec_t, -1) > 0)
+    h = (jnp.sum(lb.spec_r, -1) > 0) | (jnp.sum(lb.spec_t, -1) > 0)
+    if lb.mix2 is not None:
+        h = h | has_specular(lb.mix2)
+    return h
 
 
 def has_non_specular(lb: Lobes):
-    return (
+    h = (
         (jnp.sum(lb.diff_r, -1) > 0) | (jnp.sum(lb.diff_t, -1) > 0)
         | (jnp.sum(lb.gloss, -1) > 0) | (jnp.sum(lb.gloss_t, -1) > 0)
     )
+    if lb.mix2 is not None:
+        h = h | has_non_specular(lb.mix2)
+    return h
+
+
+def rho_proxies(lb: Lobes):
+    """(rho_r, rho_t) reflectance proxies for density estimates
+    (photon-map LPhoton rho(wo)*INV_PI, reference photonmap.cpp:88-103),
+    mix-aware."""
+    rr = lb.diff_r + lb.gloss
+    rt = lb.diff_t + lb.gloss_t
+    if lb.mix2 is not None:
+        rr2, rt2 = rho_proxies(lb.mix2)
+        rr = lb.mix_amt * rr + (1.0 - lb.mix_amt) * rr2
+        rt = lb.mix_amt * rt + (1.0 - lb.mix_amt) * rt2
+    return rr, rt

@@ -308,8 +308,9 @@ def _compact_pairs(lst, nl, T, sentinel_block):
     return pair_tile, pair_block, total
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _wide_t_pass_chunk(wb: WideBVH, o, d, tmin, tmax, interpret=False):
+@functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
+def _wide_t_pass_chunk(wb: WideBVH, o, d, tmin, tmax, any_hit=False,
+                       interpret=False):
     R = o.shape[0]
     T = R // TILE
     o_s, d_s, tmin_s, tmax_s, idx_s = _sort_rays(
@@ -351,8 +352,17 @@ def _wide_t_pass_chunk(wb: WideBVH, o, d, tmin, tmax, interpret=False):
     def wave_body(s):
         swept, done, t3, p3, w = s
         # per-tile farthest useful t tightens as hits land, so later
-        # waves cull everything beyond the tile's worst confirmed hit
-        tmax_t = jnp.max(t3[:T].reshape(T, TILE), 1)
+        # waves cull everything beyond the tile's worst confirmed hit.
+        # Any-hit (shadow) queries retire a lane at its FIRST hit — the
+        # reference's dedicated IntersectP early-out (bvh.cpp:639-687):
+        # hit lanes stop contributing to the tile bound, so fully-hit
+        # tiles cull everything and drain immediately.
+        cap_lane = t3[:T].reshape(T, TILE)
+        if any_hit:
+            hit_lane = (p3[:T] >= 0).reshape(T, TILE)
+            tmax_t = jnp.max(jnp.where(hit_lane, -BIG, cap_lane), 1)
+        else:
+            tmax_t = jnp.max(cap_lane, 1)
         lst, nl, swept, done = _dense_cull(wb, frus, tmax_t, swept)
         pair_tile, pair_block, total = _compact_pairs(lst, nl, T, wb.n_blocks)
 
@@ -383,9 +393,12 @@ def _wide_t_pass_chunk(wb: WideBVH, o, d, tmin, tmax, interpret=False):
     return t_out, p_out
 
 
-def wide_t_pass(wb: WideBVH, ray_o, ray_d, tmin, tmax, interpret=False):
+def wide_t_pass(wb: WideBVH, ray_o, ray_d, tmin, tmax, any_hit=False,
+                interpret=False):
     """[R] rays -> (t [R], global prim [R], -1 = miss). Handles padding
-    to TILE multiples and chunking for very large wavefronts."""
+    to TILE multiples and chunking for very large wavefronts. any_hit:
+    occlusion semantics — lanes retire at the first confirmed hit (the
+    returned t is then SOME hit, not the nearest)."""
     R = ray_o.shape[0]
     Rpad = max(TILE, (R + TILE - 1) // TILE * TILE)
     if Rpad != R:
@@ -398,7 +411,8 @@ def wide_t_pass(wb: WideBVH, ray_o, ray_d, tmin, tmax, interpret=False):
     for s in range(0, Rpad, CHUNK):
         e = min(s + CHUNK, Rpad)
         t, p = _wide_t_pass_chunk(wb, ray_o[s:e], ray_d[s:e], tmin[s:e],
-                                  tmax[s:e], interpret=interpret)
+                                  tmax[s:e], any_hit=any_hit,
+                                  interpret=interpret)
         outs_t.append(t)
         outs_p.append(p)
     t = outs_t[0] if len(outs_t) == 1 else jnp.concatenate(outs_t)

@@ -35,9 +35,25 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.array(devs[:n]), (AXIS,))
 
 
+def mesh_from_options(options: Optional[dict] = None) -> Optional[Mesh]:
+    """The render/shoot mesh implied by CLI options: --ncores devices
+    (0 = all). None on a single device — callers fall through to the
+    unsharded path."""
+    options = options or {}
+    avail = len(jax.devices())
+    n = int(options.get("nCores") or 0) or avail
+    n = max(1, min(n, avail))
+    return make_mesh(n) if n > 1 else None
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for the leading (ray/sample/photon) batch axis."""
+    return NamedSharding(mesh, P(AXIS))
+
+
 def shard_batch(mesh: Mesh, arr):
     """Shard the leading axis of a ray/sample batch over the mesh."""
-    return jax.device_put(arr, NamedSharding(mesh, P(AXIS)))
+    return jax.device_put(arr, batch_sharding(mesh))
 
 
 def replicate(mesh: Mesh, tree):

@@ -1,4 +1,4 @@
-"""Photon maps as sorted spatial-hash grids with top-k queries.
+"""Photon maps as sorted spatial-hash grids with fused, blocked kNN.
 
 Replaces the reference's KdTree<Photon> + ClosePhoton max-heap kNN
 (reference core/kdtree.h:63-186, core/photonshooter.h:186-203). The
@@ -7,9 +7,25 @@ cell start offsets by binary search; a kNN lookup gathers the 3x3x3
 neighbor cells (capped per cell), computes squared distances and
 top-k's them — fixed shapes, no heap, fully batched over query points.
 
-The density estimate contract matches LPhoton: the caller receives the
-k nearest (alpha, wi, dist2, valid) and reduces them itself
-(integrators/photonmap.py, photonvolume.py).
+TPU memory shaping (round-4 redesign):
+  * Coordinates and directions are stored as SPLIT component arrays
+    ([P] each) rather than [P, 3]: XLA:TPU pads a rank-N array's minor
+    dim to 128 lanes, so a gathered [Q, M, 3] candidate tensor expands
+    42.7x (the round-3 20.8 GB compile-time OOM). Component gathers
+    produce [Q, M] tensors that pad benignly.
+  * Spectra are stored TRANSPOSED [S, P] so the per-candidate gather
+    [S, Q, K] pads on K (a real axis), not on S=30 -> 128.
+  * The kNN lookups are two-phase (top-k on distances only, then
+    gather k spectra) and FUSED: `knn_weighted_flux` takes a per-photon
+    weight function and reduces to [Q, S] inside a query-blocked
+    lax.map, so no [Q, K, S] tensor is ever materialized at full lane
+    count.
+
+The density-estimate normalization matches the reference kd-tree
+contract (core/photonshooter.cpp:17-35 EPhoton, integrators/photonmap
+.cpp LPhoton): the lookup radius passed to the kernel is the SHRUNK
+maxDist2 — the kth-nearest distance when the heap filled (n_found >=
+k), else the caller's maxDist2 unchanged.
 """
 from __future__ import annotations
 
@@ -23,14 +39,22 @@ from pbrt_tpu.core import spectrum as spec
 
 S = spec.N_BINS
 
+# Default query block: bounds peak per-block kNN temps to ~tens of MB
+# regardless of the wavefront tile size.
+DEFAULT_BLOCK = 4096
+
 
 class PhotonMap(NamedTuple):
-    pos: jnp.ndarray         # [P, 3] sorted by cell id
-    alpha: jnp.ndarray       # [P, S]
-    wi: jnp.ndarray          # [P, 3]
+    px: jnp.ndarray          # [P] sorted by cell id (split coords)
+    py: jnp.ndarray
+    pz: jnp.ndarray
+    alpha_t: jnp.ndarray     # [S, P] transposed spectra
+    wix: jnp.ndarray         # [P] split incident directions
+    wiy: jnp.ndarray
+    wiz: jnp.ndarray
     cell_start: jnp.ndarray  # [C + 1] int32 prefix offsets
     grid_lo: jnp.ndarray     # [3]
-    inv_cell: jnp.ndarray    # [3] 1 / cell_size
+    inv_cell: jnp.ndarray    # [3] cells per unit length
     dims: Tuple[int, int, int]  # static grid dims
     count: int               # number of photons (static)
 
@@ -71,10 +95,17 @@ def build_photon_map(pos: np.ndarray, alpha: np.ndarray, wi: np.ndarray,
     cid_s = cid[order]
     C = int(dims[0] * dims[1] * dims[2])
     cell_start = np.searchsorted(cid_s, np.arange(C + 1)).astype(np.int32)
+    pos_s = pos[order]
+    alpha_s = np.asarray(alpha, np.float32)[order]
+    wi_s = np.asarray(wi, np.float32)[order]
     return PhotonMap(
-        pos=jnp.asarray(pos[order]),
-        alpha=jnp.asarray(np.asarray(alpha, np.float32)[order]),
-        wi=jnp.asarray(np.asarray(wi, np.float32)[order]),
+        px=jnp.asarray(pos_s[:, 0]),
+        py=jnp.asarray(pos_s[:, 1]),
+        pz=jnp.asarray(pos_s[:, 2]),
+        alpha_t=jnp.asarray(alpha_s.T.copy()),
+        wix=jnp.asarray(wi_s[:, 0]),
+        wiy=jnp.asarray(wi_s[:, 1]),
+        wiz=jnp.asarray(wi_s[:, 2]),
         cell_start=jnp.asarray(cell_start),
         grid_lo=jnp.asarray(lo, jnp.float32),
         inv_cell=jnp.asarray(inv_cell, jnp.float32),
@@ -115,57 +146,173 @@ def _gather_candidates(pm, q, per_cell_cap: int):
     return jnp.concatenate(cand_idx, axis=1), jnp.concatenate(cand_ok, axis=1)
 
 
-class KnnResult(NamedTuple):
-    alpha: jnp.ndarray   # [Q, K, S]
-    wi: jnp.ndarray      # [Q, K, 3]
-    dist2: jnp.ndarray   # [Q, K]
-    valid: jnp.ndarray   # [Q, K]
-    r2_max: jnp.ndarray  # [Q] squared radius of the found set (kth or maxdist2)
+def _default_cap(k: int) -> int:
+    return max(16, -(-2 * k // 27))
 
 
-def knn_lookup(pm: PhotonMap, q: jnp.ndarray, k: int, max_dist2: float,
-               per_cell_cap: int = 0) -> KnnResult:
-    """k nearest photons within sqrt(max_dist2) of each query point.
+def _topk_phase(pm, qb, k: int, max_dist2: float, per_cell_cap: int):
+    """Phase 1 of the two-phase lookup, for ONE query block.
 
-    q: [Q, 3]. Gathers 27 neighbor cells x per_cell_cap candidates.
-    Deterministic; lanes beyond a cell's population are masked.
-    per_cell_cap defaults to enough candidates that the 27-cell gather
-    can actually return k photons (>= 2k total candidates), so large
-    `nused` values (pinkfloyd's 500) are not silently starved.
-    """
-    if per_cell_cap <= 0:
-        per_cell_cap = max(16, -(-2 * k // 27))
-    idx, ok = _gather_candidates(pm, q, per_cell_cap)
-    ppos = pm.pos[idx]                         # [Q, M, 3]
-    d2 = jnp.sum((ppos - q[:, None, :]) ** 2, -1)
+    Distances only: gathers candidate indices and split coordinates,
+    top-k's squared distances. Returns (gi [B,K] photon ids, d2k [B,K],
+    valid [B,K], r2_norm [B], r2_found [B], n_found [B]).
+
+    r2_norm: the reference kd-tree's post-shrink maxDist2 — the kth
+    distance only once the heap FILLS, else the caller's maxDist2
+    (core/kdtree.h Lookup; used by EPhoton/surface LPhoton kernels).
+    r2_found: max distance2 of the found set (used by the VOLUME
+    LPhoton's 4/3 pi r^3 cell, photonvolume.cpp:88-100 maxmd)."""
+    idx, ok = _gather_candidates(pm, qb, per_cell_cap)      # [B, M]
+    d2 = ((pm.px[idx] - qb[:, 0:1]) ** 2
+          + (pm.py[idx] - qb[:, 1:2]) ** 2
+          + (pm.pz[idx] - qb[:, 2:3]) ** 2)
     d2 = jnp.where(ok & (d2 <= max_dist2), d2, jnp.inf)
     k_eff = min(k, d2.shape[1])
     neg_top, top_i = jax.lax.top_k(-d2, k_eff)
     d2k = -neg_top
     valid = jnp.isfinite(d2k)
     gi = jnp.take_along_axis(idx, top_i, axis=1)
-    r2 = jnp.max(jnp.where(valid, d2k, 0.0), axis=1)
-    r2 = jnp.where(jnp.any(valid, 1), r2, max_dist2)
+    n_found = jnp.sum(valid.astype(jnp.int32), axis=1)
+    kth = jnp.max(jnp.where(valid, d2k, 0.0), axis=1)
+    r2_norm = jnp.where(n_found >= k_eff, kth, max_dist2)
+    return (gi, d2k, valid, jnp.maximum(r2_norm, 1e-12),
+            jnp.maximum(kth, 1e-12), n_found)
+
+
+def _block_map(fn, q, extras, block: int):
+    """Run fn(q_block, *extras_block) over query blocks with lax.map.
+
+    q: [Q, 3]; extras: arrays with leading dim Q. Outputs of fn (pytree
+    with leading dim B) are concatenated back to leading dim Q."""
+    Q = q.shape[0]
+    if block <= 0 or Q <= block:
+        return fn(q, *extras)
+    nb = -(-Q // block)
+    pad = nb * block - Q
+
+    def padded(x):
+        if pad:
+            x = jnp.concatenate([x, jnp.repeat(x[:1], pad, axis=0)], axis=0)
+        return x.reshape((nb, block) + x.shape[1:])
+
+    xs = (padded(q),) + tuple(padded(e) for e in extras)
+    out = jax.lax.map(lambda args: fn(*args), xs)
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((nb * block,) + x.shape[2:])[:Q], out)
+
+
+class FluxResult(NamedTuple):
+    flux: jnp.ndarray      # [Q, S] (or [Q, W, S] for multi-channel weights)
+    n_found: jnp.ndarray   # [Q] int32
+    r2_norm: jnp.ndarray   # [Q] post-shrink kernel radius (surface contract)
+    r2_found: jnp.ndarray  # [Q] found-set max dist2 (volume contract)
+
+
+def knn_weighted_flux(pm: Optional[PhotonMap], q: jnp.ndarray, k: int,
+                      max_dist2: float, weight_fn, extras=(),
+                      per_cell_cap: int = 0,
+                      block: int = DEFAULT_BLOCK) -> FluxResult:
+    """Fused kNN density estimate: flux[q] = sum_k w_k * alpha_k.
+
+    weight_fn(wix, wiy, wiz, d2, valid, r2_norm, *extras_block) returns
+    per-photon weights [B, K] — or [B, K, W] for W independent weight
+    channels (e.g. reflection/transmission hemispheres), giving flux
+    [Q, W, S]. extras are arrays with leading dim Q, sliced per block.
+
+    Never materializes a [Q, K, S] tensor: queries run in
+    `block`-sized chunks inside a lax.map.
+    """
+    if pm is None:
+        Q = q.shape[0]
+        return FluxResult(
+            flux=jnp.zeros((Q, S), jnp.float32),
+            n_found=jnp.zeros((Q,), jnp.int32),
+            r2_norm=jnp.full((Q,), max_dist2, jnp.float32),
+            r2_found=jnp.full((Q,), max_dist2, jnp.float32),
+        )
+    cap = per_cell_cap if per_cell_cap > 0 else _default_cap(k)
+
+    def one_block(qb, *eb):
+        gi, d2k, valid, r2n, r2f, n_found = _topk_phase(
+            pm, qb, k, max_dist2, cap)
+        w = weight_fn(pm.wix[gi], pm.wiy[gi], pm.wiz[gi], d2k, valid, r2n, *eb)
+        A = jnp.take(pm.alpha_t, gi, axis=1)          # [S, B, K]
+        if w.ndim == 3:
+            w = jnp.where(valid[..., None], w, 0.0)
+            flux = jnp.einsum("sbk,bkw->bws", A, w)
+        else:
+            w = jnp.where(valid, w, 0.0)
+            flux = jnp.einsum("sbk,bk->bs", A, w)
+        return FluxResult(flux=flux, n_found=n_found, r2_norm=r2n,
+                          r2_found=r2f)
+
+    return _block_map(one_block, q, tuple(extras), block)
+
+
+def knn_dirs(pm: Optional[PhotonMap], q: jnp.ndarray, k: int,
+             max_dist2: float, per_cell_cap: int = 0,
+             block: int = DEFAULT_BLOCK):
+    """Directions-only kNN (final-gather photon-cone importance
+    sampling needs the found photons' wi vectors, not their spectra).
+
+    Returns (wix, wiy, wiz, valid) each [Q, K]."""
+    if pm is None:
+        Q = q.shape[0]
+        z = jnp.zeros((Q, k), jnp.float32)
+        return z, z, z, jnp.zeros((Q, k), bool)
+    cap = per_cell_cap if per_cell_cap > 0 else _default_cap(k)
+
+    def one_block(qb):
+        gi, _d2k, valid, _r2n, _r2f, _nf = _topk_phase(
+            pm, qb, k, max_dist2, cap)
+        return pm.wix[gi], pm.wiy[gi], pm.wiz[gi], valid
+
+    return _block_map(one_block, q, (), block)
+
+
+class KnnResult(NamedTuple):
+    alpha: jnp.ndarray   # [Q, K, S]
+    wi: jnp.ndarray      # [Q, K, 3]
+    dist2: jnp.ndarray   # [Q, K]
+    valid: jnp.ndarray   # [Q, K]
+    r2_max: jnp.ndarray  # [Q] kth dist2 when the heap filled, else maxdist2
+
+
+def knn_lookup(pm: PhotonMap, q: jnp.ndarray, k: int, max_dist2: float,
+               per_cell_cap: int = 0) -> KnnResult:
+    """Materialized k-nearest lookup (tests / small query sets ONLY —
+    renders use the fused knn_weighted_flux / knn_dirs, which never
+    build the [Q, K, S] tensors this returns)."""
+    cap = per_cell_cap if per_cell_cap > 0 else _default_cap(k)
+    gi, d2k, valid, r2, _r2f, _nf = _topk_phase(pm, q, k, max_dist2, cap)
+    alpha = jnp.moveaxis(jnp.take(pm.alpha_t, gi, axis=1), 0, -1)  # [Q,K,S]
+    wi = jnp.stack([pm.wix[gi], pm.wiy[gi], pm.wiz[gi]], axis=-1)
     return KnnResult(
-        alpha=pm.alpha[gi],
-        wi=pm.wi[gi],
+        alpha=jnp.where(valid[..., None], alpha, 0.0),
+        wi=wi,
         dist2=jnp.where(valid, d2k, 0.0),
         valid=valid,
-        r2_max=jnp.maximum(r2, 1e-12),
+        r2_max=r2,
     )
 
 
-def ephoton(pm: Optional[PhotonMap], q, n, k: int, max_dist2: float):
+def ephoton(pm: Optional[PhotonMap], q, n, k: int, max_dist2: float,
+            block: int = DEFAULT_BLOCK):
     """Irradiance estimate at (q, n) from a photon map (reference
     core/photonshooter.cpp EPhoton :17-35): sum of alpha over the k
-    nearest photons with dot(n, wi) > 0, divided by (md2 * pi) — the
-    map's alphas are already 1/nshot-normalized at build. [Q, S]."""
+    nearest photons with dot(n, wi) > 0, divided by (md2 * pi) where
+    md2 is the post-shrink lookup radius — the map's alphas are
+    already 1/nshot-normalized at build. [Q, S]."""
     if pm is None:
         return jnp.zeros(q.shape[:-1] + (S,), jnp.float32)
-    res = knn_lookup(pm, q, k, max_dist2)
-    front = jnp.sum(res.wi * n[:, None, :], -1) > 0.0
-    e = jnp.sum(jnp.where((res.valid & front)[..., None], res.alpha, 0.0), axis=1)
-    return e / (res.r2_max[..., None] * jnp.pi)
+
+    def weight(wix, wiy, wiz, d2, valid, r2, nb):
+        front = wix * nb[:, 0:1] + wiy * nb[:, 1:2] + wiz * nb[:, 2:3] > 0.0
+        return front.astype(jnp.float32)
+
+    res = knn_weighted_flux(pm, q, k, max_dist2, weight,
+                            extras=(n,), block=block)
+    return res.flux / (res.r2_norm[..., None] * jnp.pi)
 
 
 class RadianceMap(NamedTuple):
@@ -174,9 +321,13 @@ class RadianceMap(NamedTuple):
     nearest-with-matching-hemisphere (RadiancePhotonProcess,
     photonshooter.h:63-77)."""
 
-    pos: jnp.ndarray         # [P, 3] sorted by cell id
-    lo_rad: jnp.ndarray      # [P, S] precomputed outgoing radiance Lo
-    n: jnp.ndarray           # [P, 3] surface normal
+    px: jnp.ndarray          # [P] sorted by cell id
+    py: jnp.ndarray
+    pz: jnp.ndarray
+    lo_t: jnp.ndarray        # [S, P] precomputed outgoing radiance Lo
+    nx_: jnp.ndarray         # [P] surface normal components
+    ny_: jnp.ndarray
+    nz_: jnp.ndarray
     cell_start: jnp.ndarray  # [C + 1]
     grid_lo: jnp.ndarray
     inv_cell: jnp.ndarray
@@ -189,14 +340,16 @@ def build_radiance_map(pos: np.ndarray, lo_rad: np.ndarray, n: np.ndarray,
     base = build_photon_map(pos, lo_rad, n, cell_size)
     if base is None:
         return None
-    return RadianceMap(pos=base.pos, lo_rad=base.alpha, n=base.wi,
+    return RadianceMap(px=base.px, py=base.py, pz=base.pz,
+                       lo_t=base.alpha_t,
+                       nx_=base.wix, ny_=base.wiy, nz_=base.wiz,
                        cell_start=base.cell_start, grid_lo=base.grid_lo,
                        inv_cell=base.inv_cell, dims=base.dims,
                        count=base.count)
 
 
 def radiance_lookup(rm: Optional[RadianceMap], q, n,
-                    per_cell_cap: int = 16):
+                    per_cell_cap: int = 16, block: int = DEFAULT_BLOCK):
     """Nearest radiance photon whose normal faces the query hemisphere
     (reference RadiancePhotonProcess, photonshooter.h:63-77: nearest
     candidate with dot(rp.n, n) > 0 — the hemisphere test is applied
@@ -206,13 +359,19 @@ def radiance_lookup(rm: Optional[RadianceMap], q, n,
     if rm is None:
         Q = q.shape[0]
         return jnp.zeros((Q, S), jnp.float32), jnp.zeros((Q,), bool)
-    idx, ok = _gather_candidates(rm, q, per_cell_cap)
-    ppos = rm.pos[idx]                              # [Q, M, 3]
-    d2 = jnp.sum((ppos - q[:, None, :]) ** 2, -1)
-    front = jnp.sum(rm.n[idx] * n[:, None, :], -1) > 0.0
-    d2 = jnp.where(ok & front, d2, jnp.inf)
-    best = jnp.argmin(d2, axis=1)                   # [Q]
-    found = jnp.isfinite(jnp.take_along_axis(d2, best[:, None], 1)[:, 0])
-    sel = jnp.take_along_axis(idx, best[:, None], 1)[:, 0]
-    lo_sel = jnp.where(found[:, None], rm.lo_rad[sel], 0.0)
-    return lo_sel, found
+
+    def one_block(qb, nb):
+        idx, ok = _gather_candidates(rm, qb, per_cell_cap)   # [B, M]
+        d2 = ((rm.px[idx] - qb[:, 0:1]) ** 2
+              + (rm.py[idx] - qb[:, 1:2]) ** 2
+              + (rm.pz[idx] - qb[:, 2:3]) ** 2)
+        front = (rm.nx_[idx] * nb[:, 0:1] + rm.ny_[idx] * nb[:, 1:2]
+                 + rm.nz_[idx] * nb[:, 2:3]) > 0.0
+        d2 = jnp.where(ok & front, d2, jnp.inf)
+        best = jnp.argmin(d2, axis=1)                        # [B]
+        found = jnp.isfinite(jnp.take_along_axis(d2, best[:, None], 1)[:, 0])
+        sel = jnp.take_along_axis(idx, best[:, None], 1)[:, 0]
+        lo_sel = jnp.take(rm.lo_t, sel, axis=1).T            # [B, S]
+        return jnp.where(found[:, None], lo_sel, 0.0), found
+
+    return _block_map(one_block, q, (n,), block)

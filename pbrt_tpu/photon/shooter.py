@@ -339,6 +339,18 @@ def build_photon_maps(scene: CompiledScene, surf_params, vol_params,
     # to amortize the device->host sync per batch)
     quota_total = n_caustic + n_indirect + n_volume
     B = 4096 if quota_total <= 300_000 else 32768
+    # Data-parallel shooting over the device mesh: the lane axis is
+    # sharded, each device traces its share of the block, and the host
+    # concatenation of the fetched shards IS the merge — the collective
+    # analog of the reference's photon-merge mutex
+    # (core/photonshooter.cpp:280-355, SURVEY.md section 2.4).
+    from pbrt_tpu.parallel import mesh as pmesh
+
+    shoot_mesh = pmesh.mesh_from_options(options)
+    if shoot_mesh is not None:
+        n_dev = shoot_mesh.devices.size
+        B = max(n_dev, (B // n_dev) * n_dev)
+        info(f"photon shooting sharded over {n_dev} devices")
     caus, ind, volp, direct = [], [], [], []
     rps = []
     shots = 0
@@ -353,9 +365,12 @@ def build_photon_maps(scene: CompiledScene, surf_params, vol_params,
         max_batches = min(max_batches, max(32, int(np.ceil(quota_total * 4 / B))))
     for bi in range(max_batches):
         lane = jnp.arange(B, dtype=jnp.int32)
+        shot_arr = jnp.full((B,), shots, jnp.int32)
+        if shoot_mesh is not None:
+            lane = pmesh.shard_batch(shoot_mesh, lane)
+            shot_arr = pmesh.shard_batch(shoot_mesh, shot_arr)
         pos, al, wi, cls, rn, rr, rt, rp = batch_fn(
-            lane, jnp.full((B,), shots, jnp.int32),
-            int(options.get("seed", 0)))
+            lane, shot_arr, int(options.get("seed", 0)))
         shots += B
         pos = np.asarray(pos).reshape(-1, 3)
         al = np.asarray(al).reshape(-1, S)

@@ -288,21 +288,25 @@ def render_sampler(scene: CompiledScene, ro: RenderOptions, film, camera,
                   spp=4 if options.get("quick") else 16)
 
     # Wavefront tile: cap the per-launch sample count to bound memory.
-    tile_samples = int(options.get("tile_samples", 1 << 16))
+    # Photon integrators carry ~100x a path tracer's per-lane state
+    # (kNN candidate buffers, march loops with embedded lookups), so
+    # their default tile is 4x smaller; override with --tile-samples.
+    photon_active = (ro.surf_integrator_name in ("photonmap", "exphotonmap")
+                     or ro.vol_integrator_name == "photonvolume")
+    default_tile = 1 << 14 if photon_active else 1 << 16
+    tile_samples = int(options.get("tile_samples") or default_tile)
     pix_per_tile = max(1, tile_samples // spp)
 
     # Device mesh: shard the tile's pixel axis; scene tensors replicate,
     # the film accumulator stays replicated (XLA inserts the psum for the
     # scatter-adds) — the pthread-pool analog per SURVEY.md section 2.4.
-    devs = jax.devices()
-    n_dev = int(options.get("nCores") or 0) or len(devs)
-    n_dev = max(1, min(n_dev, len(devs)))
-    sharding = None
-    if n_dev > 1:
-        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from pbrt_tpu.parallel import mesh as pmesh
 
-        mesh = Mesh(np.array(devs[:n_dev]), ("rays",))
-        sharding = NamedSharding(mesh, P("rays"))
+    mesh = pmesh.mesh_from_options(options)
+    sharding = None
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        sharding = pmesh.batch_sharding(mesh)
         pix_per_tile = max(n_dev, (pix_per_tile // n_dev) * n_dev)
         info(f"sharding render tiles over {n_dev} devices")
     n_pix = film.nx * film.ny

@@ -584,28 +584,42 @@ def eval_bsdf_params(scene: CompiledScene, hit) -> BsdfParams:
     H = hit.p.shape[0]
     sg = ShadingGeom.at(hit.p, hit.uv)
     out = BsdfParams.none(H)
-    zs = jnp.zeros((H, S), jnp.float32)
-    ones = jnp.ones((H,), jnp.float32)
     meas_id = jnp.full((H,), -1, jnp.int32)
+    has_mix = any(m.kind == "mix" for m in scene.materials)
+    if has_mix:
+        out = out._replace(mix2=BsdfParams.none(H),
+                           mix_amt=jnp.ones((H, S), jnp.float32))
+
+    def merge(sel, p, old):
+        merged = BsdfParams(
+            kind=jnp.where(sel, p.kind, old.kind),
+            kd=jnp.where(sel[:, None], p.kd, old.kd),
+            ks=jnp.where(sel[:, None], p.ks, old.ks),
+            kr=jnp.where(sel[:, None], p.kr, old.kr),
+            kt=jnp.where(sel[:, None], p.kt, old.kt),
+            opacity=jnp.where(sel[:, None], p.opacity, old.opacity),
+            rough_u=jnp.where(sel, p.rough_u, old.rough_u),
+            rough_v=jnp.where(sel, p.rough_v, old.rough_v),
+            eta=jnp.where(sel, p.eta, old.eta),
+            vn=jnp.where(sel, p.vn, old.vn),
+            sigma=jnp.where(sel, p.sigma, old.sigma),
+        )
+        if old.mix2 is not None:
+            merged = merged._replace(
+                mix2=merge(sel, p.mix2, old.mix2),
+                mix_amt=jnp.where(sel[:, None], p.mix_amt, old.mix_amt),
+            )
+        return merged
 
     for mi, mat in enumerate(scene.materials):
         sel = hit.mat == mi
-        if not bool(np.any(np.asarray(hit.mat is not None))):  # static guard no-op
-            pass
         p = _lower_material(mat, sg, H)
-        out = BsdfParams(
-            kind=jnp.where(sel, p.kind, out.kind),
-            kd=jnp.where(sel[:, None], p.kd, out.kd),
-            ks=jnp.where(sel[:, None], p.ks, out.ks),
-            kr=jnp.where(sel[:, None], p.kr, out.kr),
-            kt=jnp.where(sel[:, None], p.kt, out.kt),
-            opacity=jnp.where(sel[:, None], p.opacity, out.opacity),
-            rough_u=jnp.where(sel, p.rough_u, out.rough_u),
-            rough_v=jnp.where(sel, p.rough_v, out.rough_v),
-            eta=jnp.where(sel, p.eta, out.eta),
-            vn=jnp.where(sel, p.vn, out.vn),
-            sigma=jnp.where(sel, p.sigma, out.sigma),
-        )
+        if has_mix and p.mix2 is None:
+            # non-mix materials in a mix scene: uniform pytree structure
+            # (amount 1 routes all weight to the primary constituent)
+            p = p._replace(mix2=BsdfParams.none(H),
+                           mix_amt=jnp.ones((H, S), jnp.float32))
+        out = merge(sel, p, out)
         if id(mat) in scene.meas_index:
             meas_id = jnp.where(sel, scene.meas_index[id(mat)], meas_id)
     if scene.meas_tables is not None:
@@ -695,29 +709,17 @@ def _lower_material(mat: MaterialRecord, sg: ShadingGeom, H: int) -> BsdfParams:
         kr = _tex_spec(mat, "Kr", sg, H, 1.0)
         eta = jnp.full((H,), mat.consts.get("index", 1.3), jnp.float32)
     elif kind == "mix":
+        # TRUE two-constituent mix (reference materials/mixmat.cpp:62):
+        # both children lowered to full param sets; bsdf_f/pdf/sample
+        # evaluate BOTH lobe sets and blend by the spectral amount
+        # (materials/bsdf.py mix wrappers). Nested mixes flatten to
+        # their first constituent.
         m1, m2 = mat.children
         amt = _tex_spec(mat, "amount", sg, H, 0.5)
         p1 = _lower_material(m1, sg, H)
         p2 = _lower_material(m2, sg, H)
-        a = jnp.clip(spec.y(amt), 0.0, 1.0)
-        # blended params; kind follows the dominant child (approximation of
-        # pbrt's scaled-BxDF concatenation, reference materials/mixmat.cpp)
-        dominant = a >= 0.5
-
-        def mixs(x1, x2):
-            return a[:, None] * x1 + (1.0 - a[:, None]) * x2
-
-        def mixf(x1, x2):
-            return a * x1 + (1.0 - a) * x2
-
-        return BsdfParams(
-            kind=jnp.where(dominant, p1.kind, p2.kind),
-            kd=mixs(p1.kd, p2.kd), ks=mixs(p1.ks, p2.ks), kr=mixs(p1.kr, p2.kr),
-            kt=mixs(p1.kt, p2.kt), opacity=mixs(p1.opacity, p2.opacity),
-            rough_u=mixf(p1.rough_u, p2.rough_u), rough_v=mixf(p1.rough_v, p2.rough_v),
-            eta=mixf(p1.eta, p2.eta), vn=mixf(p1.vn, p2.vn),
-            sigma=mixf(p1.sigma, p2.sigma),
-        )
+        p2 = p2._replace(mix2=None, mix_amt=None)
+        return p1._replace(mix2=p2, mix_amt=jnp.clip(amt, 0.0, 1.0))
 
     kid = KIND_ID.get(kind, KIND_ID["matte"])
     return BsdfParams(

@@ -237,10 +237,26 @@ class TextureParams:
             if tex_name in self.spectrum_textures:
                 return self.spectrum_textures[tex_name]
             warning(f'Couldn\'t find spectrum texture named "{tex_name}" for parameter "{name}"')
-        val = self.find_spectrum(name, default)
+        sv = self.geom.find_spectrum(name)
+        if sv is None:
+            sv = self.material.find_spectrum(name)
+        if sv is not None:
+            val = sv[0] if sv.ndim > 1 else sv
+        else:
+            # accept a float param where a spectrum is expected (e.g.
+            # `"float amount" [.4]` on a mix material): grey spectrum
+            fv = self.geom._get(name, ("float", "integer"))
+            if fv is None:
+                fv = self.material._get(name, ("float", "integer"))
+            val = float(fv[0]) if fv is not None and len(fv) else default
+        val = np.asarray(val, np.float32)
+        if val.ndim == 0:
+            val = np.full(spec.N_BINS, float(val), np.float32)
+        elif val.shape == (3,):
+            val = np.asarray(spec.from_rgb(val), np.float32)
         from pbrt_tpu.textures.registry import ConstantTexture
 
-        return ConstantTexture(np.asarray(val, np.float32))
+        return ConstantTexture(val)
 
     def get_float_texture(self, name, default):
         tex_name = self.geom.find_texture(name) or self.material.find_texture(name)

@@ -13,6 +13,12 @@ re-execs itself in a subprocess with the flag set.
 import os
 
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# Persistent compile cache: golden renders re-jit identical programs in
+# every test process; caching them across runs/processes is the single
+# biggest suite-runtime lever (TPU compiles go through the tunnel).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_pbrt"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 try:
     import jax
