@@ -65,6 +65,47 @@ def main():
     cast_dt = (time.perf_counter() - t0) / iters
     cast_rays_per_s = n / cast_dt
 
+    # --- shadow-ray (any-hit early-out) throughput: rays from the
+    # primary hit points toward a light — the estimate_direct workload
+    hit_p = ray.o + jnp.where(jnp.isfinite(t), t, 0.0)[:, None] * ray.d
+    lpos = jnp.asarray([0.0, 6.0, 0.0])
+    sd = lpos[None, :] - hit_p
+    sdist = jnp.sqrt(jnp.sum(sd * sd, -1))
+    sdir = sd / jnp.maximum(sdist, 1e-9)[:, None]
+    s_tmax = jnp.where(prim >= 0, sdist * 0.999, -1.0)
+
+    @jax.jit
+    def shadow(o, d, tmax):
+        r = Ray(o + d * 1e-3, d, jnp.zeros(n), tmax, jnp.zeros(n))
+        return scene.accel._t_pass(r, any_hit=True)[1] >= 0
+
+    occ = shadow(hit_p, sdir, s_tmax)
+    occ.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        occ = shadow(hit_p, sdir, s_tmax)
+    occ.block_until_ready()
+    shadow_dt = (time.perf_counter() - t0) / iters
+
+    # --- incoherent-ray throughput: scrambled origins/directions (the
+    # worst case for the packet sort/cull; honest secondary-bounce cost)
+    import numpy as _np
+
+    rng = _np.random.RandomState(0)
+    lo = _np.asarray(scene.world_lo)
+    hi = _np.asarray(scene.world_hi)
+    io_ = jnp.asarray(rng.uniform(lo, hi, (n, 3)).astype(_np.float32))
+    dirs = rng.normal(size=(n, 3)).astype(_np.float32)
+    dirs /= _np.linalg.norm(dirs, axis=-1, keepdims=True)
+    id_ = jnp.asarray(dirs)
+    ti, pi_ = tpass(io_, id_)
+    ti.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ti, pi_ = tpass(io_, id_)
+    ti.block_until_ready()
+    incoh_dt = (time.perf_counter() - t0) / iters
+
     # --- full render throughput (path tracer, depth 5) ---
     out = forward(ray.o, ray.d)
     out.block_until_ready()
@@ -89,6 +130,8 @@ def main():
             "tpass_ms": round(cast_dt * 1e3, 1),
             "render_ms": round(path_dt * 1e3, 1),
             "hit_frac": round(float((prim >= 0).mean()), 4),
+            "shadow_rays_per_s": round(n / shadow_dt, 1),
+            "incoherent_rays_per_s": round(n / incoh_dt, 1),
         },
     }))
 

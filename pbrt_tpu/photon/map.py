@@ -116,7 +116,15 @@ def build_photon_map(pos: np.ndarray, alpha: np.ndarray, wi: np.ndarray,
 
 def _gather_candidates(pm, q, per_cell_cap: int):
     """Candidate photon indices from the 3x3x3 cell neighborhood of
-    each query: ([Q, 27*cap] indices, [Q, 27*cap] validity)."""
+    each query: ([Q, 27*cap] indices, [Q, 27*cap] validity,
+    [Q, 27*cap] inverse inclusion fraction).
+
+    Cells denser than per_cell_cap are TRUNCATED to their first `cap`
+    photons (build order — spatially random within the cell). The
+    truncated candidates form a uniform subsample of the cell, so
+    weighting each by occupancy/cap keeps flux-sum density estimates
+    unbiased in dense regions (photon caustics concentrate thousands of
+    photons into one cell; round-4 fix for the 6x-dark caustic spot)."""
     nx, ny, nz = pm.dims
     cq = ((q - pm.grid_lo) * pm.inv_cell)
     cxi = jnp.clip(jnp.floor(cq[..., 0]).astype(jnp.int32), 0, nx - 1)
@@ -125,6 +133,7 @@ def _gather_candidates(pm, q, per_cell_cap: int):
 
     cand_idx = []
     cand_ok = []
+    cand_invf = []
     for dz in (-1, 0, 1):
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
@@ -138,16 +147,24 @@ def _gather_candidates(pm, q, per_cell_cap: int):
                 cid = (zc * ny + yc) * nx + xc
                 start = pm.cell_start[cid]
                 end = pm.cell_start[cid + 1]
+                occ = (end - start).astype(jnp.float32)
+                invf = jnp.maximum(occ / float(per_cell_cap), 1.0)
                 offs = jnp.arange(per_cell_cap, dtype=jnp.int32)
                 idx = start[:, None] + offs[None, :]
                 ok = inb[:, None] & (idx < end[:, None])
                 cand_idx.append(jnp.clip(idx, 0, pm.count - 1))
                 cand_ok.append(ok)
-    return jnp.concatenate(cand_idx, axis=1), jnp.concatenate(cand_ok, axis=1)
+                cand_invf.append(jnp.broadcast_to(invf[:, None],
+                                                  ok.shape))
+    return (jnp.concatenate(cand_idx, axis=1),
+            jnp.concatenate(cand_ok, axis=1),
+            jnp.concatenate(cand_invf, axis=1))
 
 
 def _default_cap(k: int) -> int:
-    return max(16, -(-2 * k // 27))
+    # at least 24/cell: dense-cell truncation is corrected by the
+    # inclusion-fraction weight, but a larger cap lowers its variance
+    return max(24, -(-2 * k // 27))
 
 
 def _topk_phase(pm, qb, k: int, max_dist2: float, per_cell_cap: int):
@@ -161,8 +178,10 @@ def _topk_phase(pm, qb, k: int, max_dist2: float, per_cell_cap: int):
     distance only once the heap FILLS, else the caller's maxDist2
     (core/kdtree.h Lookup; used by EPhoton/surface LPhoton kernels).
     r2_found: max distance2 of the found set (used by the VOLUME
-    LPhoton's 4/3 pi r^3 cell, photonvolume.cpp:88-100 maxmd)."""
-    idx, ok = _gather_candidates(pm, qb, per_cell_cap)      # [B, M]
+    LPhoton's 4/3 pi r^3 cell, photonvolume.cpp:88-100 maxmd).
+    invf: per-selected-photon inverse inclusion fraction (dense-cell
+    truncation correction; 1.0 for untruncated cells)."""
+    idx, ok, invf = _gather_candidates(pm, qb, per_cell_cap)  # [B, M]
     d2 = ((pm.px[idx] - qb[:, 0:1]) ** 2
           + (pm.py[idx] - qb[:, 1:2]) ** 2
           + (pm.pz[idx] - qb[:, 2:3]) ** 2)
@@ -172,11 +191,12 @@ def _topk_phase(pm, qb, k: int, max_dist2: float, per_cell_cap: int):
     d2k = -neg_top
     valid = jnp.isfinite(d2k)
     gi = jnp.take_along_axis(idx, top_i, axis=1)
+    invf_k = jnp.take_along_axis(invf, top_i, axis=1)
     n_found = jnp.sum(valid.astype(jnp.int32), axis=1)
     kth = jnp.max(jnp.where(valid, d2k, 0.0), axis=1)
     r2_norm = jnp.where(n_found >= k_eff, kth, max_dist2)
     return (gi, d2k, valid, jnp.maximum(r2_norm, 1e-12),
-            jnp.maximum(kth, 1e-12), n_found)
+            jnp.maximum(kth, 1e-12), n_found, invf_k)
 
 
 def _block_map(fn, q, extras, block: int):
@@ -233,15 +253,15 @@ def knn_weighted_flux(pm: Optional[PhotonMap], q: jnp.ndarray, k: int,
     cap = per_cell_cap if per_cell_cap > 0 else _default_cap(k)
 
     def one_block(qb, *eb):
-        gi, d2k, valid, r2n, r2f, n_found = _topk_phase(
+        gi, d2k, valid, r2n, r2f, n_found, invf = _topk_phase(
             pm, qb, k, max_dist2, cap)
         w = weight_fn(pm.wix[gi], pm.wiy[gi], pm.wiz[gi], d2k, valid, r2n, *eb)
         A = jnp.take(pm.alpha_t, gi, axis=1)          # [S, B, K]
         if w.ndim == 3:
-            w = jnp.where(valid[..., None], w, 0.0)
+            w = jnp.where(valid[..., None], w * invf[..., None], 0.0)
             flux = jnp.einsum("sbk,bkw->bws", A, w)
         else:
-            w = jnp.where(valid, w, 0.0)
+            w = jnp.where(valid, w * invf, 0.0)
             flux = jnp.einsum("sbk,bk->bs", A, w)
         return FluxResult(flux=flux, n_found=n_found, r2_norm=r2n,
                           r2_found=r2f)
@@ -263,7 +283,7 @@ def knn_dirs(pm: Optional[PhotonMap], q: jnp.ndarray, k: int,
     cap = per_cell_cap if per_cell_cap > 0 else _default_cap(k)
 
     def one_block(qb):
-        gi, _d2k, valid, _r2n, _r2f, _nf = _topk_phase(
+        gi, _d2k, valid, _r2n, _r2f, _nf, _invf = _topk_phase(
             pm, qb, k, max_dist2, cap)
         return pm.wix[gi], pm.wiy[gi], pm.wiz[gi], valid
 
@@ -284,8 +304,9 @@ def knn_lookup(pm: PhotonMap, q: jnp.ndarray, k: int, max_dist2: float,
     renders use the fused knn_weighted_flux / knn_dirs, which never
     build the [Q, K, S] tensors this returns)."""
     cap = per_cell_cap if per_cell_cap > 0 else _default_cap(k)
-    gi, d2k, valid, r2, _r2f, _nf = _topk_phase(pm, q, k, max_dist2, cap)
+    gi, d2k, valid, r2, _r2f, _nf, invf = _topk_phase(pm, q, k, max_dist2, cap)
     alpha = jnp.moveaxis(jnp.take(pm.alpha_t, gi, axis=1), 0, -1)  # [Q,K,S]
+    alpha = alpha * invf[..., None]  # dense-cell truncation correction
     wi = jnp.stack([pm.wix[gi], pm.wiy[gi], pm.wiz[gi]], axis=-1)
     return KnnResult(
         alpha=jnp.where(valid[..., None], alpha, 0.0),
@@ -361,7 +382,7 @@ def radiance_lookup(rm: Optional[RadianceMap], q, n,
         return jnp.zeros((Q, S), jnp.float32), jnp.zeros((Q,), bool)
 
     def one_block(qb, nb):
-        idx, ok = _gather_candidates(rm, qb, per_cell_cap)   # [B, M]
+        idx, ok, _invf = _gather_candidates(rm, qb, per_cell_cap)  # [B, M]
         d2 = ((rm.px[idx] - qb[:, 0:1]) ** 2
               + (rm.py[idx] - qb[:, 1:2]) ** 2
               + (rm.pz[idx] - qb[:, 2:3]) ** 2)

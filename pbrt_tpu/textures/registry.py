@@ -415,8 +415,11 @@ class ImageMapTexture(Texture):
                 img = read_image(filename).astype(np.float32)
             except (OSError, ValueError, ImportError, KeyError,
                     NotImplementedError) as e:
-                warning(f'Couldn\'t read image "{filename}": {e}; using grey')
-                img = np.full((1, 1, 3), 0.5, np.float32)
+                # reference textures/imagemap.cpp:78-80: missing file ->
+                # single WHITE texel (times scale/gamma applied later)
+                warning(f'Couldn\'t read image "{filename}": {e}; '
+                        f'using white texel')
+                img = np.ones((1, 1, 3), np.float32)
             if gamma != 1.0:
                 img = np.power(np.maximum(img, 0.0), gamma)
             ImageMapTexture._cache[key] = img

@@ -27,6 +27,13 @@ CASES = [
     ("vol", 0.05, 0.08),      # single-scatter homogeneous volume march
     ("mesh", 0.05, 0.15),     # 4-bounce path: plastic + mirror + area light
     ("smoke", 0.05, 0.10),    # dispersive glass, whitted-style specular chain
+    # crown-glass dispersion caustic through photonmap (reference
+    # projectScene/scene.pbrt:40 preset); caustics are kNN-smoothed
+    # density estimates, so the pixel bound is loose
+    ("disp", 0.08, 0.30),
+    # rainbow volume crop: photonvolume + rainbowReflection transfer +
+    # photonmap final gather (reference projectScene/rainbow_png.pbrt)
+    ("rainbowc", 0.05, 0.15),
 ]
 
 

@@ -65,10 +65,11 @@ def test_imagemap_file_roundtrip(tmp_path, ext):
     assert float(right[:, 1].mean()) > 2.0 * float(right[:, 0].mean() + 1e-6)
 
 
-def test_imagemap_missing_file_grey_fallback(tmp_path):
-    """A missing texture file must warn and shade grey, not crash
-    (the rainbow corpus scene references an absent lines.tga)."""
+def test_imagemap_missing_file_white_fallback(tmp_path):
+    """A missing texture file must warn and shade with a white texel
+    (reference imagemap.cpp:78-80), not crash — the rainbow corpus
+    scene references an absent lines.tga."""
     img = _render_plane_with_texture(tmp_path, "/nonexistent/nope.tga")
     assert np.all(np.isfinite(img))
     mid = img[16, 16]
-    assert 0.05 < float(mid.mean()) < 0.95
+    assert 0.5 < float(mid.mean()) < 1.5
