@@ -45,8 +45,9 @@ def main():
 
     @jax.jit
     def tpass(o, d):
+        # camera beams carry the coherent hint, as the render driver does
         r = Ray(o, d, jnp.zeros(n), jnp.full((n,), jnp.inf), jnp.zeros(n))
-        t, prim = scene.accel._t_pass(r)
+        t, prim = scene.accel._t_pass(r, coherent=True)
         return t, prim
 
     @jax.jit
@@ -77,7 +78,7 @@ def main():
     @jax.jit
     def shadow(o, d, tmax):
         r = Ray(o + d * 1e-3, d, jnp.zeros(n), tmax, jnp.zeros(n))
-        return scene.accel._t_pass(r, any_hit=True)[1] >= 0
+        return scene.accel._t_pass(r, any_hit=True, coherent=True)[1] >= 0
 
     occ = shadow(hit_p, sdir, s_tmax)
     occ.block_until_ready()
@@ -98,11 +99,19 @@ def main():
     dirs = rng.normal(size=(n, 3)).astype(_np.float32)
     dirs /= _np.linalg.norm(dirs, axis=-1, keepdims=True)
     id_ = jnp.asarray(dirs)
-    ti, pi_ = tpass(io_, id_)
+
+    @jax.jit
+    def tpass_inc(o, d):
+        # no coherent hint: the per-ray slab cull path secondary
+        # bounces take
+        r = Ray(o, d, jnp.zeros(n), jnp.full((n,), jnp.inf), jnp.zeros(n))
+        return scene.accel._t_pass(r)
+
+    ti, pi_ = tpass_inc(io_, id_)
     ti.block_until_ready()
     t0 = time.perf_counter()
     for _ in range(iters):
-        ti, pi_ = tpass(io_, id_)
+        ti, pi_ = tpass_inc(io_, id_)
     ti.block_until_ready()
     incoh_dt = (time.perf_counter() - t0) / iters
 

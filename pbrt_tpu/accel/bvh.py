@@ -552,13 +552,15 @@ class BvhScene(NamedTuple):
     tri_soa: object = None   # ops.intersect_pallas.TriSoA when on TPU
     wide: object = None      # accel.wide_bvh.WideBVH when on TPU
 
-    def _t_pass(self, ray: Ray, any_hit: bool = False):
+    def _t_pass(self, ray: Ray, any_hit: bool = False,
+                coherent: bool = False):
         if self.wide is not None:
             from pbrt_tpu.accel.intersect import _quad_t_pass
             from pbrt_tpu.ops.bvh_pallas import wide_t_pass
 
             t, prim = wide_t_pass(self.wide, ray.o, ray.d, ray.tmin,
-                                  ray.tmax, any_hit=any_hit)
+                                  ray.tmax, any_hit=any_hit,
+                                  coherent=coherent)
             if self.geom.n_quads > 0:
                 t, prim = _quad_t_pass(self.geom, ray, t, prim)
             return t, prim
@@ -577,12 +579,12 @@ class BvhScene(NamedTuple):
 
         return t_pass_brute(self.geom, ray)
 
-    def intersect(self, ray: Ray):
-        t, prim = self._t_pass(ray)
+    def intersect(self, ray: Ray, coherent: bool = False):
+        t, prim = self._t_pass(ray, coherent=coherent)
         return reconstruct(self.geom, ray, t, prim)
 
-    def intersect_p(self, ray: Ray):
-        _, prim = self._t_pass(ray, any_hit=True)
+    def intersect_p(self, ray: Ray, coherent: bool = False):
+        _, prim = self._t_pass(ray, any_hit=True, coherent=coherent)
         return prim >= 0
 
 

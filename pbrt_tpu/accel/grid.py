@@ -203,11 +203,11 @@ class GridScene(NamedTuple):
             return t_pass_brute(self.geom, ray)
         return t_pass_grid(self.grid, self.geom, ray, any_hit=any_hit)
 
-    def intersect(self, ray: Ray):
+    def intersect(self, ray: Ray, coherent: bool = False):
         t, prim = self._t_pass(ray)
         return reconstruct(self.geom, ray, t, prim)
 
-    def intersect_p(self, ray: Ray):
+    def intersect_p(self, ray: Ray, coherent: bool = False):
         _, prim = self._t_pass(ray, any_hit=True)
         return prim >= 0
 

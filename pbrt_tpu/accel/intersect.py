@@ -75,6 +75,14 @@ class SceneGeom(NamedTuple):
     quad_w2o_end: jnp.ndarray = None  # [Q, 4, 4] its inverse (host-computed)
     time0: float = 0.0            # shutter open  (transform keyframe times)
     time1: float = 1.0            # shutter close
+    # Packed per-primitive reconstruct rows (round-4 perf): ONE row
+    # gather per hit instead of ~15 small-minor-dim gathers (each of
+    # which pads its row to a 128-lane tile on TPU — reconstruct cost
+    # was 1.8x the entire traversal). Layouts documented in
+    # _reconstruct_packed. Built by compile_scene; None in hand-rolled
+    # test geometries (reconstruct falls back to per-field gathers).
+    tri_pack: jnp.ndarray = None   # [T, 27 (+9 motion)] f32
+    quad_pack: jnp.ndarray = None  # [Q, 34 (+24 motion)] f32
 
     @property
     def has_motion(self):
@@ -427,7 +435,14 @@ def t_pass_brute(geom: SceneGeom, ray: Ray, block: int = 512):
 
 
 def reconstruct(geom: SceneGeom, ray: Ray, t: jnp.ndarray, prim: jnp.ndarray) -> Hit:
-    """Phase 2: differential geometry for the winning prim per ray."""
+    """Phase 2: differential geometry for the winning prim per ray.
+
+    Uses the packed single-gather path when compile_scene built the
+    packs; the per-field fallback below serves hand-rolled geometries."""
+    if (geom.tri_pack is not None or geom.n_tris == 0) and (
+            geom.quad_pack is not None or geom.n_quads == 0):
+        if geom.n_tris > 0 or geom.n_quads > 0:
+            return _reconstruct_packed(geom, ray, t, prim)
     R = ray.o.shape[0]
     T = geom.n_tris
     valid = prim >= 0
@@ -522,6 +537,302 @@ def _coord_sys(n):
     from pbrt_tpu.core.geometry import coordinate_system
 
     return coordinate_system(n)
+
+
+# ---------------------------------------------------------------------------
+# Packed reconstruct: one row-gather per hit
+
+def make_tri_pack(v0, e1, e2, n, uv, has_n, mat, light,
+                  dv0=None, de1=None, de2=None):
+    """Host build of the [T, 27(+9)] triangle reconstruct rows:
+      0-8   v0 e1 e2
+      9-17  shading normals n0 n1 n2
+      18-23 uv0 uv1 uv2
+      24    has_n (0/1)   25 mat   26 light   (ints exact in f32)
+      27-35 motion deltas dv0 de1 de2 (present iff animated)"""
+    T = len(v0)
+    cols = [
+        np.asarray(v0, np.float32), np.asarray(e1, np.float32),
+        np.asarray(e2, np.float32),
+        np.asarray(n, np.float32).reshape(T, 9),
+        np.asarray(uv, np.float32).reshape(T, 6),
+        np.asarray(has_n, np.float32).reshape(T, 1),
+        np.asarray(mat, np.float32).reshape(T, 1),
+        np.asarray(light, np.float32).reshape(T, 1),
+    ]
+    if dv0 is not None:
+        cols += [np.asarray(dv0, np.float32), np.asarray(de1, np.float32),
+                 np.asarray(de2, np.float32)]
+    return np.concatenate(cols, axis=1) if T else np.zeros(
+        (0, 36 if dv0 is not None else 27), np.float32)
+
+
+def make_quad_pack(o2w, w2o, params, qtype, flip, mat, light,
+                   o2w_end=None, w2o_end=None):
+    """Host build of the [Q, 34(+24)] quadric reconstruct rows:
+      0-11  o2w affine rows (3x4, row-major)
+      12-23 w2o affine rows
+      24-29 params r zmin zmax phimax p4 p5
+      30 type  31 flip  32 mat  33 light
+      34-45 o2w_end affine, 46-57 w2o_end affine (iff animated)"""
+    Q = len(qtype)
+    if Q == 0:
+        return np.zeros((0, 58 if o2w_end is not None else 34), np.float32)
+    o2w = np.asarray(o2w, np.float32)
+    w2o = np.asarray(w2o, np.float32)
+    cols = [
+        o2w[:, :3, :4].reshape(Q, 12),
+        w2o[:, :3, :4].reshape(Q, 12),
+        np.asarray(params, np.float32)[:, :6],
+        np.asarray(qtype, np.float32).reshape(Q, 1),
+        np.asarray(flip, np.float32).reshape(Q, 1),
+        np.asarray(mat, np.float32).reshape(Q, 1),
+        np.asarray(light, np.float32).reshape(Q, 1),
+    ]
+    if o2w_end is not None:
+        cols += [np.asarray(o2w_end, np.float32)[:, :3, :4].reshape(Q, 12),
+                 np.asarray(w2o_end, np.float32)[:, :3, :4].reshape(Q, 12)]
+    return np.concatenate(cols, axis=1)
+
+
+def _rsqrt_norm3(x, y, z):
+    inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-24))
+    return x * inv, y * inv, z * inv
+
+
+def _coord_sys_c(nx, ny, nz):
+    """coordinate_system first axis, componentwise (geometry.py analog)."""
+    use_x = jnp.abs(nx) > jnp.abs(ny)
+    inv1 = jax.lax.rsqrt(jnp.maximum(nx * nx + nz * nz, 1e-24))
+    inv2 = jax.lax.rsqrt(jnp.maximum(ny * ny + nz * nz, 1e-24))
+    v1x = jnp.where(use_x, -nz * inv1, 0.0)
+    v1y = jnp.where(use_x, 0.0, nz * inv2)
+    v1z = jnp.where(use_x, nx * inv1, -ny * inv2)
+    return v1x, v1y, v1z
+
+
+def _reconstruct_packed(geom: SceneGeom, ray: Ray, t, prim) -> Hit:
+    """Differential geometry via ONE [N, C] row gather per table.
+
+    All math runs on split [N] components (minor-dim-3 tensors pay a
+    ~4x layout penalty on TPU; row gathers of many small tables pay
+    far more) and stacks into the [N, 3] Hit fields once at the end."""
+    R = ray.o.shape[0]
+    T = geom.n_tris
+    valid = prim >= 0
+    is_tri = valid & (prim < T)
+    ox, oy, oz = ray.o[:, 0], ray.o[:, 1], ray.o[:, 2]
+    dx, dy, dz = ray.d[:, 0], ray.d[:, 1], ray.d[:, 2]
+
+    zf = jnp.zeros((R,), jnp.float32)
+    zi = jnp.zeros((R,), jnp.int32)
+
+    if T > 0:
+        tri_idx = jnp.clip(jnp.where(is_tri, prim, 0), 0, T - 1)
+        P = geom.tri_pack[tri_idx]                    # [N, C] one gather
+
+        def c(i):
+            return P[:, i]
+
+        v0x, v0y, v0z = c(0), c(1), c(2)
+        e1x, e1y, e1z = c(3), c(4), c(5)
+        e2x, e2y, e2z = c(6), c(7), c(8)
+        if geom.tri_pack.shape[1] >= 36:              # motion deltas
+            dt = geom.norm_time(ray.time)
+            v0x = v0x + dt * c(27); v0y = v0y + dt * c(28); v0z = v0z + dt * c(29)
+            e1x = e1x + dt * c(30); e1y = e1y + dt * c(31); e1z = e1z + dt * c(32)
+            e2x = e2x + dt * c(33); e2y = e2y + dt * c(34); e2z = e2z + dt * c(35)
+        # geometric normal
+        ngx = e1y * e2z - e1z * e2y
+        ngy = e1z * e2x - e1x * e2z
+        ngz = e1x * e2y - e1y * e2x
+        ngx, ngy, ngz = _rsqrt_norm3(ngx, ngy, ngz)
+        # Moller-Trumbore barycentrics at the hit
+        pvx = dy * e2z - dz * e2y
+        pvy = dz * e2x - dx * e2z
+        pvz = dx * e2y - dy * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+        tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+        b1 = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        b2 = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+        b0 = 1.0 - b1 - b2
+        # shading normal blend
+        nsx = b0 * c(9) + b1 * c(12) + b2 * c(15)
+        nsy = b0 * c(10) + b1 * c(13) + b2 * c(16)
+        nsz = b0 * c(11) + b1 * c(14) + b2 * c(17)
+        nsx, nsy, nsz = _rsqrt_norm3(nsx, nsy, nsz)
+        has_n = c(24) > 0.5
+        nsx = jnp.where(has_n, nsx, ngx)
+        nsy = jnp.where(has_n, nsy, ngy)
+        nsz = jnp.where(has_n, nsz, ngz)
+        # uv blend
+        u_t = b0 * c(18) + b1 * c(20) + b2 * c(22)
+        v_t = b0 * c(19) + b1 * c(21) + b2 * c(23)
+        # dpdu from the uv parameterization
+        du1u, du1v = c(20) - c(18), c(21) - c(19)
+        du2u, du2v = c(22) - c(18), c(23) - c(19)
+        det_uv = du1u * du2v - du1v * du2u
+        inv_uv = jnp.where(jnp.abs(det_uv) > 1e-12, 1.0 / det_uv, 0.0)
+        dpdux = (du2v * e1x - du1v * e2x) * inv_uv
+        dpduy = (du2v * e1y - du1v * e2y) * inv_uv
+        dpduz = (du2v * e1z - du1v * e2z) * inv_uv
+        fbx, fby, fbz = _coord_sys_c(ngx, ngy, ngz)
+        degen = jnp.abs(det_uv) < 1e-12
+        dpdux = jnp.where(degen, fbx, dpdux)
+        dpduy = jnp.where(degen, fby, dpduy)
+        dpduz = jnp.where(degen, fbz, dpduz)
+        mat_t = c(25).astype(jnp.int32)
+        light_t = c(26).astype(jnp.int32)
+    else:
+        ngx = ngy = ngz = nsx = nsy = nsz = zf
+        dpdux = dpduy = dpduz = u_t = v_t = zf
+        mat_t = light_t = zi
+
+    if geom.n_quads > 0:
+        quad_idx = jnp.clip(jnp.where(valid & ~is_tri, prim - T, 0),
+                            0, geom.n_quads - 1)
+        QP = geom.quad_pack[quad_idx]                 # [N, C] one gather
+
+        def m(i):
+            return QP[:, i]
+
+        if geom.quad_pack.shape[1] >= 58:             # animated transforms
+            dt = geom.norm_time(ray.time)
+
+            def a_(i):
+                return (1.0 - dt) * QP[:, i] + dt * QP[:, 34 + i]
+
+            def b_(i):
+                return (1.0 - dt) * QP[:, 12 + i] + dt * QP[:, 46 + i]
+        else:
+            def a_(i):
+                return QP[:, i]
+
+            def b_(i):
+                return QP[:, 12 + i]
+
+        # object-space ray
+        o_qx = b_(0) * ox + b_(1) * oy + b_(2) * oz + b_(3)
+        o_qy = b_(4) * ox + b_(5) * oy + b_(6) * oz + b_(7)
+        o_qz = b_(8) * ox + b_(9) * oy + b_(10) * oz + b_(11)
+        d_qx = b_(0) * dx + b_(1) * dy + b_(2) * dz
+        d_qy = b_(4) * dx + b_(5) * dy + b_(6) * dz
+        d_qz = b_(8) * dx + b_(9) * dy + b_(10) * dz
+        px = o_qx + t * d_qx
+        py = o_qy + t * d_qy
+        pz = o_qz + t * d_qz
+        r_ = m(24)
+        zmin, zmax = m(25), m(26)
+        phimax = m(27)
+        p4, p5 = m(28), m(29)
+        qtype = m(30).astype(jnp.int32)
+        flip = m(31) > 0.5
+        mat_q = m(32).astype(jnp.int32)
+        light_q = m(33).astype(jnp.int32)
+
+        phi = jnp.arctan2(py, px)
+        phi = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
+        is_sph = qtype == QUAD_SPHERE
+        is_cyl = qtype == QUAD_CYLINDER
+        is_disk = qtype == QUAD_DISK
+        is_cone = qtype == QUAD_CONE
+        is_par = qtype == QUAD_PARABOLOID
+
+        u_q = phi / jnp.maximum(phimax, 1e-9)
+        theta = jnp.arccos(jnp.clip(pz / jnp.maximum(r_, 1e-12), -1.0, 1.0))
+        thmin = jnp.arccos(jnp.clip(zmax / jnp.maximum(r_, 1e-12), -1.0, 1.0))
+        thmax = jnp.arccos(jnp.clip(zmin / jnp.maximum(r_, 1e-12), -1.0, 1.0))
+        v_sph = (theta - thmin) / jnp.maximum(thmax - thmin, 1e-9)
+        v_lin = (pz - zmin) / jnp.maximum(zmax - zmin, 1e-9)
+        dist = jnp.sqrt(jnp.maximum(px * px + py * py, 1e-20))
+        v_disk = 1.0 - (dist - p4) / jnp.maximum(r_ - p4, 1e-9)
+        v_q = jnp.where(is_sph, v_sph, jnp.where(is_disk, v_disk, v_lin))
+
+        # object-space dpdu (rotation about z) and normal per type
+        dpqx, dpqy, dpqz = -phimax * py, phimax * px, zf
+        k_cone = (r_ / jnp.maximum(p4, 1e-12)) ** 2
+        k_par = p4 / jnp.maximum(r_ * r_, 1e-12)
+        n_ox = jnp.where(is_sph, px,
+               jnp.where(is_cyl, px,
+               jnp.where(is_disk, 0.0,
+               jnp.where(is_cone, px,
+               jnp.where(is_par, 2.0 * k_par * px, 2.0 * p4 * px)))))
+        n_oy = jnp.where(is_sph, py,
+               jnp.where(is_cyl, py,
+               jnp.where(is_disk, 0.0,
+               jnp.where(is_cone, py,
+               jnp.where(is_par, 2.0 * k_par * py, 2.0 * p4 * py)))))
+        n_oz = jnp.where(is_sph, pz,
+               jnp.where(is_cyl, 0.0,
+               jnp.where(is_disk, 1.0,
+               jnp.where(is_cone, -k_cone * (pz - p4),
+               jnp.where(is_par, -1.0, -2.0 * p5 * pz)))))
+
+        # world-space position (o2w point), normal (w2o^T), dpdu (o2w vec)
+        p_qx = a_(0) * px + a_(1) * py + a_(2) * pz + a_(3)
+        p_qy = a_(4) * px + a_(5) * py + a_(6) * pz + a_(7)
+        p_qz = a_(8) * px + a_(9) * py + a_(10) * pz + a_(11)
+        n_qx = b_(0) * n_ox + b_(4) * n_oy + b_(8) * n_oz
+        n_qy = b_(1) * n_ox + b_(5) * n_oy + b_(9) * n_oz
+        n_qz = b_(2) * n_ox + b_(6) * n_oy + b_(10) * n_oz
+        n_qx, n_qy, n_qz = _rsqrt_norm3(n_qx, n_qy, n_qz)
+        sgn = jnp.where(flip, -1.0, 1.0)
+        n_qx, n_qy, n_qz = sgn * n_qx, sgn * n_qy, sgn * n_qz
+        dq_x = a_(0) * dpqx + a_(1) * dpqy + a_(2) * dpqz
+        dq_y = a_(4) * dpqx + a_(5) * dpqy + a_(6) * dpqz
+        dq_z = a_(8) * dpqx + a_(9) * dpqy + a_(10) * dpqz
+    else:
+        p_qx = p_qy = p_qz = n_qx = n_qy = n_qz = zf
+        dq_x = dq_y = dq_z = u_q = v_q = zf
+        mat_q = light_q = zi
+
+    # merge tri/quad lanes componentwise, stack once
+    hx = ox + t * dx
+    hy = oy + t * dy
+    hz = oz + t * dz
+    sel = is_tri
+    px_o = jnp.where(sel, hx, p_qx)
+    py_o = jnp.where(sel, hy, p_qy)
+    pz_o = jnp.where(sel, hz, p_qz)
+    ngxo = jnp.where(sel, ngx, n_qx)
+    ngyo = jnp.where(sel, ngy, n_qy)
+    ngzo = jnp.where(sel, ngz, n_qz)
+    nsxo = jnp.where(sel, nsx, n_qx)
+    nsyo = jnp.where(sel, nsy, n_qy)
+    nszo = jnp.where(sel, nsz, n_qz)
+    dpxo = jnp.where(sel, dpdux, dq_x)
+    dpyo = jnp.where(sel, dpduy, dq_y)
+    dpzo = jnp.where(sel, dpduz, dq_z)
+    uo = jnp.where(sel, u_t, u_q)
+    vo = jnp.where(sel, v_t, v_q)
+    mat = jnp.where(sel, mat_t, mat_q)
+    light = jnp.where(sel, light_t, light_q)
+    # keep ng in the ns hemisphere (trianglemesh convention)
+    flip_ng = ngxo * nsxo + ngyo * nsyo + ngzo * nszo < 0.0
+    fs = jnp.where(flip_ng, -1.0, 1.0)
+    ngxo, ngyo, ngzo = fs * ngxo, fs * ngyo, fs * ngzo
+
+    vm = valid
+
+    def msk(x):
+        return jnp.where(vm, x, 0.0)  # where, not multiply: NaN-safe
+
+    return Hit(
+        valid=vm,
+        t=jnp.where(vm, t, BIG),
+        p=jnp.stack([msk(px_o), msk(py_o), msk(pz_o)], -1),
+        ng=jnp.stack([msk(ngxo), msk(ngyo), msk(ngzo)], -1),
+        ns=jnp.stack([msk(nsxo), msk(nsyo), msk(nszo)], -1),
+        uv=jnp.stack([msk(uo), msk(vo)], -1),
+        dpdu=jnp.stack([msk(dpxo), msk(dpyo), msk(dpzo)], -1),
+        mat=jnp.where(vm, mat, -1),
+        light=jnp.where(vm, light, -1),
+        prim=jnp.where(vm, prim, -1),
+    )
 
 
 def intersect(geom: SceneGeom, ray: Ray) -> Hit:

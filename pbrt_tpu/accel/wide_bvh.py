@@ -24,7 +24,7 @@ import numpy as np
 import jax.numpy as jnp
 
 LEAF_W = 128          # triangles per wide leaf == one lane-aligned block
-TILE = 1024          # rays per packet (Phase A/B tile)
+TILE = 1024           # rays per packet (Phase A/B tile; multiple of 128)
 MAX_L = 64            # leaf-list slots per tile per wave
 
 

@@ -86,7 +86,8 @@ def li_photonmap(scene: CompiledScene, ctx, ray: Ray, pixel, sidx,
     zf = jnp.zeros((N,), jnp.float32)
     tm = ray.time
     for depth in range(max_depth + 1):
-        hit = scene.intersect(Ray(st.ray_o, st.ray_d, zf, jnp.full((N,), BIG), tm))
+        hit = scene.intersect(Ray(st.ray_o, st.ray_d, zf, jnp.full((N,), BIG), tm),
+                              coherent=depth == 0)
         st = st._replace(L=_add_hit_emission(scene, st, hit, depth == 0))
         escaped = st.alive & ~hit.valid
         st = st._replace(L=_add_escape_emission(scene, st, escaped, True))

@@ -87,7 +87,9 @@ def _occluded(scene: CompiledScene, p, wi, dist, valid, time=None):
         tmax=jnp.where(valid, tmax, -1.0),  # invalid lanes: empty interval
         time=jnp.zeros((R,), jnp.float32) if time is None else time,
     )
-    return scene.intersect_p(ray)
+    # shadow beams (clustered origins, light-convergent directions)
+    # traverse with the frustum cull
+    return scene.intersect_p(ray, coherent=True)
 
 
 def estimate_direct(scene: CompiledScene, lobes: Lobes, frame: Frame,
@@ -234,7 +236,8 @@ def _li_path_impl(scene: CompiledScene, ray: Ray, u_fn, max_depth: int,
         # all-dead tiles that trace nothing)
         hit = scene.intersect(Ray(st.ray_o, st.ray_d,
                                   jnp.zeros((N,), jnp.float32),
-                                  jnp.where(st.alive, BIG, -1.0), tm))
+                                  jnp.where(st.alive, BIG, -1.0), tm),
+                              coherent=depth == 0)
         first = depth == 0
         L = _add_hit_emission(scene, st, hit, first)
         st = st._replace(L=L)
@@ -359,7 +362,8 @@ def _li_direct_or_whitted(scene, ray, pixel, sidx, max_depth, seed, strategy,
         # all-dead tiles that trace nothing)
         hit = scene.intersect(Ray(st.ray_o, st.ray_d,
                                   jnp.zeros((N,), jnp.float32),
-                                  jnp.where(st.alive, BIG, -1.0), tm))
+                                  jnp.where(st.alive, BIG, -1.0), tm),
+                              coherent=depth == 0)
         st = st._replace(L=_add_hit_emission(scene, st, hit, depth == 0))
         escaped = st.alive & ~hit.valid
         st = st._replace(L=_add_escape_emission(scene, st, escaped, True))

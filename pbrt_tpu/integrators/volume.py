@@ -158,4 +158,4 @@ def _shadow(scene: CompiledScene, p, wi, dist, valid):
     tmax = jnp.where(dist >= BIG, jnp.full_like(dist, BIG), dist * (1.0 - 1e-3))
     ray = Ray(o=p + wi * 1e-3, d=wi, tmin=jnp.zeros((N,), jnp.float32),
               tmax=jnp.where(valid, tmax, -1.0), time=jnp.zeros((N,), jnp.float32))
-    return scene.intersect_p(ray)
+    return scene.intersect_p(ray, coherent=True)

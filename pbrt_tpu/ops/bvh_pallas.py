@@ -5,9 +5,10 @@ Replaces the per-ray short-stack walk (reference accelerators/bvh.cpp
 
   Phase A (jnp): rays are sorted by a coherence key (origin Morton,
   then direction octant + direction Morton) and grouped into TILE-ray
-  packets. Each packet keeps ONE traversal stack; node culling is a
-  conservative interval (frustum) slab test, so per-step work is
-  O(tiles), not O(rays). Hit leaves append to a bounded per-tile list.
+  packets. Candidate leaf blocks come from an EXACT dense per-ray slab
+  test ([R, B] fused on the VPU, reduced to per-tile nearest-first
+  lists) — precise even for direction-incoherent secondary bounces,
+  where a conservative tile-frustum test degenerates to "everything".
 
   Phase B (Pallas): the per-tile lists are compacted into a flat
   (tile, leaf-block) pair list — cost scales with real work, not the
@@ -34,6 +35,9 @@ import jax.numpy as jnp
 from jax import lax
 
 from pbrt_tpu.accel.wide_bvh import WideBVH, LEAF_W, TILE, MAX_L
+
+# accumulator sublane count: (ACC_S, 128) tiles span one ray tile
+ACC_S = TILE // 128
 
 BIG = 1e30
 DEPTH = 64          # per-packet stack depth (wide tree depth << this)
@@ -100,9 +104,9 @@ def _make_sweep_kernel(sentinel_block):
                     & (t > tmin) & (t < tmax)
                 )
                 t = jnp.where(valid, t, BIG)
-                t_blk = jnp.min(t, axis=1).reshape(1, 8, TILE // 8)
+                t_blk = jnp.min(t, axis=1).reshape(1, ACC_S, 128)
                 idx_blk = jnp.argmin(t, axis=1).astype(jnp.int32).reshape(
-                    1, 8, TILE // 8)
+                    1, ACC_S, 128)
                 prim_blk = b * LEAF_W + idx_blk
                 better = t_blk < tout_ref[:]
                 tout_ref[:] = jnp.where(better, t_blk, tout_ref[:])
@@ -115,7 +119,7 @@ def _sweep_pairs(pair_tile, pair_block, rays8, t_in, prim_in, tris16,
                  interpret=False):
     """pair_* [PAIR_CHUNK] i32, tile-sorted, KP pairs per step sharing a
     tile (intra-tile padding = sentinel block, whole-step padding =
-    sentinel tile); rays8 [(T+1)*TILE, 8]; t/prim [T+1, 8, TILE//8]."""
+    sentinel tile); rays8 [(T+1)*TILE, 8]; t/prim [T+1, ACC_S, 128]."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -130,19 +134,19 @@ def _sweep_pairs(pair_tile, pair_block, rays8, t_in, prim_in, tris16,
         in_specs=[
             pl.BlockSpec((TILE, 8), lambda g, pt, pb: (pt[g * KP], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, TILE // 8),
+            pl.BlockSpec((1, ACC_S, 128),
                          lambda g, pt, pb: (pt[g * KP], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, TILE // 8),
+            pl.BlockSpec((1, ACC_S, 128),
                          lambda g, pt, pb: (pt[g * KP], 0, 0),
                          memory_space=pltpu.VMEM),
             tri_spec(0), tri_spec(1), tri_spec(2), tri_spec(3),
         ],
         out_specs=[
-            pl.BlockSpec((1, 8, TILE // 8),
+            pl.BlockSpec((1, ACC_S, 128),
                          lambda g, pt, pb: (pt[g * KP], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, TILE // 8),
+            pl.BlockSpec((1, ACC_S, 128),
                          lambda g, pt, pb: (pt[g * KP], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -151,8 +155,8 @@ def _sweep_pairs(pair_tile, pair_block, rays8, t_in, prim_in, tris16,
         _make_sweep_kernel(n_blocks_pad - 1),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((Tp, 8, TILE // 8), jnp.float32),
-            jax.ShapeDtypeStruct((Tp, 8, TILE // 8), jnp.int32),
+            jax.ShapeDtypeStruct((Tp, ACC_S, 128), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, ACC_S, 128), jnp.int32),
         ],
         # accumulators alias: blocks a chunk never touches keep their
         # prior values (operands: pt, pb, rays8, t_in, prim_in, tris x4)
@@ -163,11 +167,33 @@ def _sweep_pairs(pair_tile, pair_block, rays8, t_in, prim_in, tris16,
 
 
 # ---------------------------------------------------------------------------
-# Phase A: dense frustum culling. With ~LEAF_W-triangle leaves the leaf
-# count is small (B ~ prims/100), so instead of walking a tree we test
-# EVERY tile frustum against EVERY leaf box as one fused [T, B] vector
-# op and top_k the hits into per-tile lists. O(T*B) beats any traversal
-# on this hardware until scenes reach tens of millions of triangles.
+# Phase A: dense per-ray culling. With ~LEAF_W-triangle leaves the leaf
+# count is small (B ~ prims/100), so instead of walking a tree we slab-
+# test EVERY ray against EVERY leaf box as a fused [R, B] vector op and
+# top_k each tile's entered blocks into per-tile lists. O(R*B) of
+# ~20-flop tests is cheap on the VPU up to tens of millions of
+# triangles, and unlike a tile-frustum test it stays EXACT for
+# direction-incoherent secondary bounces.
+
+def _frusta(o, d, tmin, tmax, live, T):
+    """Per-tile conservative interval bounds:
+    (olo, ohi, ilo, ihi [T,3]; tmin_t, tmax_t [T]; alive [T] bool)."""
+    o3 = o.reshape(T, TILE, 3)
+    d3 = d.reshape(T, TILE, 3)
+    lv = live.reshape(T, TILE, 1)
+    safe_d = jnp.where(jnp.abs(d3) > 1e-20, d3, jnp.where(d3 < 0, -1e-20, 1e-20))
+    inv = 1.0 / safe_d
+    olo = jnp.min(jnp.where(lv, o3, BIG), 1)
+    ohi = jnp.max(jnp.where(lv, o3, -BIG), 1)
+    ilo = jnp.min(jnp.where(lv, inv, BIG), 1)
+    ihi = jnp.max(jnp.where(lv, inv, -BIG), 1)
+    lvf = lv[:, :, 0]
+    tmin_tile = jnp.min(jnp.where(lvf, tmin.reshape(T, TILE), BIG), 1)
+    tmax_c = jnp.where(jnp.isfinite(tmax), tmax, BIG).reshape(T, TILE)
+    tmax_tile = jnp.max(jnp.where(lvf, tmax_c, -BIG), 1)
+    alive = jnp.any(lvf, 1)
+    return olo, ohi, ilo, ihi, tmin_tile, tmax_tile, alive
+
 
 def _dense_cull(wb: WideBVH, frus, tmax_t, swept):
     """frus: per-tile interval bounds; tmax_t [T]: current per-tile
@@ -215,6 +241,96 @@ def _dense_cull(wb: WideBVH, frus, tmax_t, swept):
     return lst, nl, swept, done
 
 
+def _perray_candidates(wb: WideBVH, o_s, inv_s, tmin_s, t_cap, live):
+    """Exact per-ray slab culling into per-tile entry-sorted candidate
+    lists, computed ONCE per traversal.
+
+    The tile-frustum interval test collapses for direction-mixed tiles
+    (secondary bounces): reciprocal intervals straddling zero make the
+    conservative bound infinite, so EVERY leaf block became a candidate
+    and incoherent throughput was ~1% of coherent. Testing each RAY
+    against each block costs a dense fused [R, B] slab test (~20 flops
+    per pair on the VPU). Wave bodies then just CONSUME successive
+    windows of the sorted list with a per-tile pointer — no re-culling,
+    and the ascending entry order makes the per-wave acceptance test a
+    prefix check against the tile's tightening t bound.
+
+    Dead lanes dominate secondary bounces (they sort to the end), so
+    the slab test runs through a while_loop over 64-tile chunks that
+    stops at the last live chunk.
+
+    Returns (cand_L [T, B] ascending entry t per tile (inf pad),
+             cand_b [T, B] block ids in that order,
+             count [T] number of real candidates)."""
+    R = o_s.shape[0]
+    T = R // TILE
+    B = wb.block_lo.shape[0]
+    TC = 64                                   # tiles per chunk
+    nT = -(-T // TC)
+    pad_t = nT * TC - T
+
+    o_p = jnp.pad(o_s, ((0, pad_t * TILE), (0, 0)))
+    i_p = jnp.pad(inv_s, ((0, pad_t * TILE), (0, 0)))
+    tmin_p = jnp.pad(tmin_s, (0, pad_t * TILE))
+    tcap_p = jnp.pad(t_cap, (0, pad_t * TILE), constant_values=-BIG)
+    live_p = jnp.pad(live, (0, pad_t * TILE))
+
+    blo = wb.block_lo                         # [B, 3]
+    bhi = wb.block_hi
+
+    # live tiles are a sorted prefix: stop chunking at the last one
+    live_tiles = jnp.any(live_p.reshape(nT * TC, TILE), -1)
+    n_live_chunks = jnp.max(jnp.where(
+        jnp.any(live_tiles.reshape(nT, TC), -1),
+        jnp.arange(nT, dtype=jnp.int32) + 1, 0))
+
+    def chunk_at(c, Lt):
+        s = c * TC * TILE
+        oc = lax.dynamic_slice(o_p, (s, 0), (TC * TILE, 3))
+        ic = lax.dynamic_slice(i_p, (s, 0), (TC * TILE, 3))
+        tminc = lax.dynamic_slice(tmin_p, (s,), (TC * TILE,))
+        tcapc = lax.dynamic_slice(tcap_p, (s,), (TC * TILE,))
+        livec = lax.dynamic_slice(live_p, (s,), (TC * TILE,))
+        t1 = (blo[None, :, :] - oc[:, None, :]) * ic[:, None, :]
+        t2 = (bhi[None, :, :] - oc[:, None, :]) * ic[:, None, :]
+        L = jnp.maximum(jnp.max(jnp.minimum(t1, t2), -1), tminc[:, None])
+        U = jnp.min(jnp.maximum(t1, t2), -1)
+        ok = (L <= U * 1.0001) & (L <= tcapc[:, None]) & livec[:, None]
+        Lm = jnp.where(ok, L, jnp.inf)        # [TC*TILE, B]
+        Lc = jnp.min(Lm.reshape(TC, TILE, B), axis=1)
+        return lax.dynamic_update_slice(Lt, Lc, (c * TC, 0))
+
+    Lt0 = jnp.full((nT * TC, B), jnp.inf, jnp.float32)
+    Lt = lax.while_loop(
+        lambda s: s[0] < n_live_chunks,
+        lambda s: (s[0] + 1, chunk_at(s[0], s[1])),
+        (jnp.int32(0), Lt0))[1][:T]           # [T, B]
+
+    bids = jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.int32)[None, :], (T, B))
+    cand_L, cand_b = lax.sort((Lt, bids), dimension=1, num_keys=1)
+    count = jnp.sum(jnp.isfinite(Lt), 1).astype(jnp.int32)
+    return cand_L, cand_b, count
+
+
+def _window_cull(cand_L, cand_b, count, ptr, tile_t, sentinel_block):
+    """Consume the next <= MAX_L candidates per tile whose entry t is
+    within the tile's current bound. Ascending order makes acceptance a
+    prefix; tile_t only tightens, so rejected entries stay rejected.
+    Returns (lst [T, MAX_L], nl [T], ptr', done [T])."""
+    T, B = cand_L.shape
+    win = ptr[:, None] + jnp.arange(MAX_L, dtype=jnp.int32)[None, :]
+    win_c = jnp.clip(win, 0, B - 1)
+    wl = jnp.take_along_axis(cand_L, win_c, axis=1)
+    wb_ = jnp.take_along_axis(cand_b, win_c, axis=1)
+    ok = (win < count[:, None]) & (wl <= tile_t[:, None] * 1.0001)
+    lst = jnp.where(ok, wb_, sentinel_block)
+    nl = jnp.sum(ok.astype(jnp.int32), 1)
+    ptr2 = ptr + nl
+    done = (ptr2 >= count) | (nl == 0)
+    return lst, nl, ptr2, done
+
+
 def _morton3(q, bits):
     m = jnp.zeros(q.shape[0], jnp.uint32)
     for b in range(bits):
@@ -260,26 +376,6 @@ def _sort_rays(o, d, tmin, tmax, world_lo, world_hi):
     return o_s, d_s, tmn, tmx, idx_s
 
 
-def _frusta(o, d, tmin, tmax, live, T):
-    """Per-tile conservative interval bounds:
-    (olo, ohi, ilo, ihi [T,3]; tmin_t, tmax_t [T]; alive [T] bool)."""
-    o3 = o.reshape(T, TILE, 3)
-    d3 = d.reshape(T, TILE, 3)
-    lv = live.reshape(T, TILE, 1)
-    safe_d = jnp.where(jnp.abs(d3) > 1e-20, d3, jnp.where(d3 < 0, -1e-20, 1e-20))
-    inv = 1.0 / safe_d
-    olo = jnp.min(jnp.where(lv, o3, BIG), 1)
-    ohi = jnp.max(jnp.where(lv, o3, -BIG), 1)
-    ilo = jnp.min(jnp.where(lv, inv, BIG), 1)
-    ihi = jnp.max(jnp.where(lv, inv, -BIG), 1)
-    lvf = lv[:, :, 0]
-    tmin_tile = jnp.min(jnp.where(lvf, tmin.reshape(T, TILE), BIG), 1)
-    tmax_c = jnp.where(jnp.isfinite(tmax), tmax, BIG).reshape(T, TILE)
-    tmax_tile = jnp.max(jnp.where(lvf, tmax_c, -BIG), 1)
-    alive = jnp.any(lvf, 1)
-    return olo, ohi, ilo, ihi, tmin_tile, tmax_tile, alive
-
-
 def _compact_pairs(lst, nl, T, sentinel_block):
     """[T, MAX_L] lists -> flat tile-sorted pair arrays. Per-tile counts
     are rounded up to KP so each grid step's KP sub-pairs share one tile
@@ -308,16 +404,17 @@ def _compact_pairs(lst, nl, T, sentinel_block):
     return pair_tile, pair_block, total
 
 
-@functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("any_hit", "coherent", "interpret"))
 def _wide_t_pass_chunk(wb: WideBVH, o, d, tmin, tmax, any_hit=False,
-                       interpret=False):
+                       coherent=False, interpret=False):
     R = o.shape[0]
     T = R // TILE
     o_s, d_s, tmin_s, tmax_s, idx_s = _sort_rays(
         o, d, tmin, tmax, wb.world_lo, wb.world_hi)
     live_s = tmax_s > tmin_s
-
-    frus = _frusta(o_s, d_s, tmin_s, tmax_s, live_s, T)
+    frus = (_frusta(o_s, d_s, tmin_s, tmax_s, live_s, T)
+            if coherent else None)
 
     rays8 = jnp.concatenate([
         o_s, d_s, tmin_s[:, None],
@@ -340,30 +437,11 @@ def _wide_t_pass_chunk(wb: WideBVH, o, d, tmin, tmax, any_hit=False,
                       jnp.maximum(exit_t, 0.0))
     t_best = jnp.where(live_s, cap, -BIG)
     t3 = jnp.concatenate(
-        [t_best.reshape(T, 8, TILE // 8), jnp.full((1, 8, TILE // 8), -BIG)], 0)
-    p3 = jnp.full((T + 1, 8, TILE // 8), -1, jnp.int32)
-    swept = jnp.zeros((T, wb.block_lo.shape[0]), bool)
+        [t_best.reshape(T, ACC_S, 128), jnp.full((1, ACC_S, 128), -BIG)], 0)
+    p3 = jnp.full((T + 1, ACC_S, 128), -1, jnp.int32)
     done = jnp.zeros((T,), bool)
 
-    def wave_cond(s):
-        swept, done, t3, p3, w = s
-        return jnp.any(~done) & (w < 64)
-
-    def wave_body(s):
-        swept, done, t3, p3, w = s
-        # per-tile farthest useful t tightens as hits land, so later
-        # waves cull everything beyond the tile's worst confirmed hit.
-        # Any-hit (shadow) queries retire a lane at its FIRST hit — the
-        # reference's dedicated IntersectP early-out (bvh.cpp:639-687):
-        # hit lanes stop contributing to the tile bound, so fully-hit
-        # tiles cull everything and drain immediately.
-        cap_lane = t3[:T].reshape(T, TILE)
-        if any_hit:
-            hit_lane = (p3[:T] >= 0).reshape(T, TILE)
-            tmax_t = jnp.max(jnp.where(hit_lane, -BIG, cap_lane), 1)
-        else:
-            tmax_t = jnp.max(cap_lane, 1)
-        lst, nl, swept, done = _dense_cull(wb, frus, tmax_t, swept)
+    def sweep_lists(lst, nl, t3, p3):
         pair_tile, pair_block, total = _compact_pairs(lst, nl, T, wb.n_blocks)
 
         def chunk_body(c, carry):
@@ -375,11 +453,62 @@ def _wide_t_pass_chunk(wb: WideBVH, o, d, tmin, tmax, any_hit=False,
                                 interpret=interpret)
 
         n_chunks = (total + PAIR_CHUNK - 1) // PAIR_CHUNK
-        t3, p3 = lax.fori_loop(0, n_chunks, chunk_body, (t3, p3))
-        return swept, done, t3, p3, w + 1
+        return lax.fori_loop(0, n_chunks, chunk_body, (t3, p3))
 
-    _, _, t3, p3, _ = lax.while_loop(
-        wave_cond, wave_body, (swept, done, t3, p3, jnp.int32(0)))
+    def tile_bound(t3, p3):
+        # per-tile farthest useful t; any-hit (shadow) queries retire a
+        # lane at its FIRST hit — the reference's dedicated IntersectP
+        # early-out (bvh.cpp:639-687)
+        cap_lane = t3[:T].reshape(T, TILE)
+        if any_hit:
+            hit_lane = (p3[:T] >= 0).reshape(T, TILE)
+            return jnp.max(jnp.where(hit_lane, -BIG, cap_lane), 1)
+        return jnp.max(cap_lane, 1)
+
+    # Cull selection (static `coherent` hint from the caller):
+    #   coherent  — per-wave tile-frustum interval test: near-free for
+    #               camera/shadow beams whose tiles share signs.
+    #   otherwise — ONE exact dense per-ray slab cull into entry-sorted
+    #               per-tile candidate lists; waves consume successive
+    #               windows via a pointer. For direction-mixed secondary
+    #               bounces the frustum degenerates to "sweep
+    #               everything" (round-3 incoherent rate was ~1% of
+    #               coherent).
+    if coherent:
+        swept = jnp.zeros((T, wb.block_lo.shape[0]), bool)
+
+        def wave_cond(s):
+            swept, done, t3, p3, w = s
+            return jnp.any(~done) & (w < 64)
+
+        def wave_body(s):
+            swept, done, t3, p3, w = s
+            lst, nl, swept, done = _dense_cull(
+                wb, frus, tile_bound(t3, p3), swept)
+            t3, p3 = sweep_lists(lst, nl, t3, p3)
+            return swept, done, t3, p3, w + 1
+
+        _, _, t3, p3, _ = lax.while_loop(
+            wave_cond, wave_body, (swept, done, t3, p3, jnp.int32(0)))
+    else:
+        cand_L, cand_b, count = _perray_candidates(
+            wb, o_s, inv_s, tmin_s, cap, live_s)
+        ptr = jnp.zeros((T,), jnp.int32)
+
+        def wave_cond(s):
+            ptr, done, t3, p3, w = s
+            return jnp.any(~done) & (w < 64)
+
+        def wave_body(s):
+            ptr, done, t3, p3, w = s
+            lst, nl, ptr, done = _window_cull(
+                cand_L, cand_b, count, ptr, tile_bound(t3, p3),
+                wb.n_blocks)
+            t3, p3 = sweep_lists(lst, nl, t3, p3)
+            return ptr, done, t3, p3, w + 1
+
+        _, _, t3, p3, _ = lax.while_loop(
+            wave_cond, wave_body, (ptr, done, t3, p3, jnp.int32(0)))
     t_best = t3[:T].reshape(R)
     prim = p3[:T].reshape(R)
 
@@ -394,11 +523,13 @@ def _wide_t_pass_chunk(wb: WideBVH, o, d, tmin, tmax, any_hit=False,
 
 
 def wide_t_pass(wb: WideBVH, ray_o, ray_d, tmin, tmax, any_hit=False,
-                interpret=False):
+                coherent=False, interpret=False):
     """[R] rays -> (t [R], global prim [R], -1 = miss). Handles padding
     to TILE multiples and chunking for very large wavefronts. any_hit:
     occlusion semantics — lanes retire at the first confirmed hit (the
-    returned t is then SOME hit, not the nearest)."""
+    returned t is then SOME hit, not the nearest). coherent: caller
+    vouches the batch is beam-like (camera/shadow rays) — selects the
+    cheap tile-frustum cull instead of the per-ray slab cull."""
     R = ray_o.shape[0]
     Rpad = max(TILE, (R + TILE - 1) // TILE * TILE)
     if Rpad != R:
@@ -412,7 +543,7 @@ def wide_t_pass(wb: WideBVH, ray_o, ray_d, tmin, tmax, any_hit=False,
         e = min(s + CHUNK, Rpad)
         t, p = _wide_t_pass_chunk(wb, ray_o[s:e], ray_d[s:e], tmin[s:e],
                                   tmax[s:e], any_hit=any_hit,
-                                  interpret=interpret)
+                                  coherent=coherent, interpret=interpret)
         outs_t.append(t)
         outs_p.append(p)
     t = outs_t[0] if len(outs_t) == 1 else jnp.concatenate(outs_t)

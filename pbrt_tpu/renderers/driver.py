@@ -267,7 +267,7 @@ def build_li_fn(scene: CompiledScene, ro: RenderOptions, options: dict):
 
 
 def _first_hit_t(scene: CompiledScene, ray: Ray):
-    hit = scene.intersect(ray)
+    hit = scene.intersect(ray, coherent=True)
     return jnp.where(hit.valid, hit.t, jnp.full_like(hit.t, BIG)), hit.prim
 
 

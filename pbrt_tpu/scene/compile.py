@@ -90,19 +90,20 @@ class CompiledScene:
             a = jnp.where(ai == k, v, a)
         return a
 
-    def _intersect_alpha(self, ray):
+    def _intersect_alpha(self, ray, coherent=False):
         """Closest hit skipping alpha==0 surfaces: bounded re-trace with
         tmin advanced past each masked hit."""
         from pbrt_tpu.core.geometry import Ray as _Ray
 
-        hit = self.accel.intersect(ray)
+        hit = self.accel.intersect(ray, coherent=coherent)
         tmin = ray.tmin
         for _ in range(self.ALPHA_LAYERS):
             a = self._alpha_of(hit)
             masked = hit.valid & (a <= 0.0)
             tmin = jnp.where(masked, hit.t * (1.0 + 1e-4) + 1e-5, tmin)
             hit2 = self.accel.intersect(
-                _Ray(ray.o, ray.d, tmin, ray.tmax, ray.time))
+                _Ray(ray.o, ray.d, tmin, ray.tmax, ray.time),
+                coherent=coherent)
 
             def sel(new, old, m=masked):
                 mm = m.reshape(m.shape + (1,) * (new.ndim - m.ndim))
@@ -111,15 +112,18 @@ class CompiledScene:
             hit = jax.tree_util.tree_map(sel, hit2, hit)
         return hit
 
-    def intersect(self, ray):
+    def intersect(self, ray, coherent=False):
+        """coherent: caller vouches the batch is beam-like (camera or
+        light-convergent rays); selects the cheaper frustum cull in the
+        packet pipeline. Safe either way — only performance changes."""
         if self.alpha_textures and self.geom.tri_alpha is not None:
-            return self._intersect_alpha(ray)
-        return self.accel.intersect(ray)
+            return self._intersect_alpha(ray, coherent=coherent)
+        return self.accel.intersect(ray, coherent=coherent)
 
-    def intersect_p(self, ray):
+    def intersect_p(self, ray, coherent=False):
         if self.alpha_textures and self.geom.tri_alpha is not None:
-            return self._intersect_alpha(ray).valid
-        return self.accel.intersect_p(ray)
+            return self._intersect_alpha(ray, coherent=coherent).valid
+        return self.accel.intersect_p(ray, coherent=coherent)
 
 
 def _material_index(mat: Optional[MaterialRecord], materials: List[MaterialRecord],
@@ -355,6 +359,27 @@ def compile_scene(ro: RenderOptions, accel_threshold: int = 64) -> CompiledScene
             if (any_motion[0] and quad_o2w_end) else None),
         time0=float(ro.transform_start_time),
         time1=float(ro.transform_end_time),
+    )
+    # packed single-gather reconstruct rows (accel/intersect.py
+    # _reconstruct_packed; one row gather replaces ~15 padded gathers)
+    from pbrt_tpu.accel.intersect import make_quad_pack, make_tri_pack
+
+    q_o2w = np.stack([q.o2w for q, _, _ in quads]) if quads else np.zeros((0, 4, 4), np.float32)
+    q_w2o = np.stack([q.w2o for q, _, _ in quads]) if quads else np.zeros((0, 4, 4), np.float32)
+    q_params = np.stack([q.params for q, _, _ in quads]) if quads else np.zeros((0, 8), np.float32)
+    q_end = (np.stack(quad_o2w_end) if (any_motion[0] and quad_o2w_end) else None)
+    q_w2o_end = (np.stack([np.linalg.inv(mm.astype(np.float64)).astype(np.float32)
+                           for mm in quad_o2w_end])
+                 if (any_motion[0] and quad_o2w_end) else None)
+    geom = geom._replace(
+        tri_pack=jnp.asarray(make_tri_pack(
+            TV0, TE1, TE2, TN, TUV, THN, TM, TL, TDV0, TDE1, TDE2)),
+        quad_pack=jnp.asarray(make_quad_pack(
+            q_o2w, q_w2o, q_params,
+            [q.qtype for q, _, _ in quads],
+            [q.reverse_orientation ^ q.swaps_handedness for q, _, _ in quads],
+            [m for _, m, _ in quads], [l for _, _, l in quads],
+            q_end, q_w2o_end)),
     )
 
     lights, envs, light_dist = _build_lights(ro, area_rows, al_v0, al_e1, al_e2, al_area,

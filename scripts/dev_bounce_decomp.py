@@ -96,10 +96,12 @@ def f_path(depth):
     return g
 
 
+import functools
+print = functools.partial(print, flush=True)
 print(f"tpass      {timeit(f_tpass, ray.o, ray.d)*1e3:8.1f} ms")
 print(f"anyhit     {timeit(f_anyhit, ray.o, ray.d)*1e3:8.1f} ms")
 print(f"intersect  {timeit(f_intersect, ray.o, ray.d)*1e3:8.1f} ms")
 print(f"shade      {timeit(f_shade, ray.o, ray.d)*1e3:8.1f} ms")
 print(f"direct     {timeit(f_direct, ray.o, ray.d)*1e3:8.1f} ms")
-for dep in (0, 1, 2, 5):
+for dep in (1, 5):
     print(f"path d={dep}   {timeit(f_path(dep), ray.o, ray.d, iters=3)*1e3:8.1f} ms")
