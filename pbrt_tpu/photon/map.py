@@ -251,6 +251,12 @@ def knn_weighted_flux(pm: Optional[PhotonMap], q: jnp.ndarray, k: int,
             r2_found=jnp.full((Q,), max_dist2, jnp.float32),
         )
     cap = per_cell_cap if per_cell_cap > 0 else _default_cap(k)
+    if block == DEFAULT_BLOCK:
+        # auto-shrink for large k: bound the [S, B, K] gather to ~96 MB
+        # (pinkfloyd's nused=500 would otherwise hold ~250 MB per
+        # buffer inside the march loop)
+        while block > 512 and S * block * max(k, 1) * 4 > (96 << 20):
+            block //= 2
 
     def one_block(qb, *eb):
         gi, d2k, valid, r2n, r2f, n_found, invf = _topk_phase(

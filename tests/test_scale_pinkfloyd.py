@@ -28,6 +28,8 @@ pytestmark = [
 
 
 def test_pinkfloyd_5m_crop(tmp_path):
+    """8k-sample tiles: nused=500 kNN buffers inside the 128-step march
+    are the largest live state of any reference workload."""
     src = open(os.path.join(CORPUS, "pinkfloyd.pbrt")).read()
     # 256^2 crop of the beam region; 4 spp bounds render time while the
     # photon build stays at FULL scale (5M volume photons, nused 500)
@@ -48,7 +50,7 @@ def test_pinkfloyd_5m_crop(tmp_path):
     out.write_text(src)
 
     t0 = time.time()
-    api.pbrt_init({"quiet": False, "write": False})
+    api.pbrt_init({"quiet": False, "write": False, "tile_samples": 8192})
     try:
         parser.parse_file(str(out))
         img = np.asarray(api._state.output)
