@@ -57,6 +57,10 @@ class PhotonMap(NamedTuple):
     inv_cell: jnp.ndarray    # [3] cells per unit length
     dims: Tuple[int, int, int]  # static grid dims
     count: int               # number of photons (static)
+    occ: jnp.ndarray = None  # [P] f32 occupancy of each photon's cell
+    # (dense-cell truncation correction: a lookup that truncates a
+    # cell to `cap` candidates weights each by occ/cap — the candidates
+    # are a uniform subsample of the cell, keeping flux sums unbiased)
 
 
 def build_photon_map(pos: np.ndarray, alpha: np.ndarray, wi: np.ndarray,
@@ -98,6 +102,7 @@ def build_photon_map(pos: np.ndarray, alpha: np.ndarray, wi: np.ndarray,
     pos_s = pos[order]
     alpha_s = np.asarray(alpha, np.float32)[order]
     wi_s = np.asarray(wi, np.float32)[order]
+    occ_p = np.bincount(cid_s, minlength=C)[cid_s].astype(np.float32)
     return PhotonMap(
         px=jnp.asarray(pos_s[:, 0]),
         py=jnp.asarray(pos_s[:, 1]),
@@ -111,20 +116,16 @@ def build_photon_map(pos: np.ndarray, alpha: np.ndarray, wi: np.ndarray,
         inv_cell=jnp.asarray(inv_cell, jnp.float32),
         dims=(int(dims[0]), int(dims[1]), int(dims[2])),
         count=P,
+        occ=jnp.asarray(occ_p),
     )
 
 
 def _gather_candidates(pm, q, per_cell_cap: int):
     """Candidate photon indices from the 3x3x3 cell neighborhood of
-    each query: ([Q, 27*cap] indices, [Q, 27*cap] validity,
-    [Q, 27*cap] inverse inclusion fraction).
-
-    Cells denser than per_cell_cap are TRUNCATED to their first `cap`
-    photons (build order — spatially random within the cell). The
-    truncated candidates form a uniform subsample of the cell, so
-    weighting each by occupancy/cap keeps flux-sum density estimates
-    unbiased in dense regions (photon caustics concentrate thousands of
-    photons into one cell; round-4 fix for the 6x-dark caustic spot)."""
+    each query: ([Q, 27*cap] indices, [Q, 27*cap] validity). Cells
+    denser than per_cell_cap are TRUNCATED to their first `cap` photons
+    (build order — spatially random within the cell); lookups correct
+    for this via the per-photon cell occupancy (PhotonMap.occ)."""
     nx, ny, nz = pm.dims
     cq = ((q - pm.grid_lo) * pm.inv_cell)
     cxi = jnp.clip(jnp.floor(cq[..., 0]).astype(jnp.int32), 0, nx - 1)
@@ -133,7 +134,6 @@ def _gather_candidates(pm, q, per_cell_cap: int):
 
     cand_idx = []
     cand_ok = []
-    cand_invf = []
     for dz in (-1, 0, 1):
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
@@ -147,18 +147,13 @@ def _gather_candidates(pm, q, per_cell_cap: int):
                 cid = (zc * ny + yc) * nx + xc
                 start = pm.cell_start[cid]
                 end = pm.cell_start[cid + 1]
-                occ = (end - start).astype(jnp.float32)
-                invf = jnp.maximum(occ / float(per_cell_cap), 1.0)
                 offs = jnp.arange(per_cell_cap, dtype=jnp.int32)
                 idx = start[:, None] + offs[None, :]
                 ok = inb[:, None] & (idx < end[:, None])
                 cand_idx.append(jnp.clip(idx, 0, pm.count - 1))
                 cand_ok.append(ok)
-                cand_invf.append(jnp.broadcast_to(invf[:, None],
-                                                  ok.shape))
     return (jnp.concatenate(cand_idx, axis=1),
-            jnp.concatenate(cand_ok, axis=1),
-            jnp.concatenate(cand_invf, axis=1))
+            jnp.concatenate(cand_ok, axis=1))
 
 
 def _default_cap(k: int) -> int:
@@ -181,7 +176,7 @@ def _topk_phase(pm, qb, k: int, max_dist2: float, per_cell_cap: int):
     LPhoton's 4/3 pi r^3 cell, photonvolume.cpp:88-100 maxmd).
     invf: per-selected-photon inverse inclusion fraction (dense-cell
     truncation correction; 1.0 for untruncated cells)."""
-    idx, ok, invf = _gather_candidates(pm, qb, per_cell_cap)  # [B, M]
+    idx, ok = _gather_candidates(pm, qb, per_cell_cap)      # [B, M]
     d2 = ((pm.px[idx] - qb[:, 0:1]) ** 2
           + (pm.py[idx] - qb[:, 1:2]) ** 2
           + (pm.pz[idx] - qb[:, 2:3]) ** 2)
@@ -191,7 +186,14 @@ def _topk_phase(pm, qb, k: int, max_dist2: float, per_cell_cap: int):
     d2k = -neg_top
     valid = jnp.isfinite(d2k)
     gi = jnp.take_along_axis(idx, top_i, axis=1)
-    invf_k = jnp.take_along_axis(invf, top_i, axis=1)
+    # dense-cell truncation correction from the photon's cell
+    # occupancy (a [P]-array gather like wix/wiy — NOT a gather of a
+    # broadcast [B, M] tensor, which faulted the TPU compiler inside
+    # the photonvolume march program)
+    if pm.occ is not None:
+        invf_k = jnp.maximum(pm.occ[gi] / float(per_cell_cap), 1.0)
+    else:
+        invf_k = jnp.ones_like(d2k)
     n_found = jnp.sum(valid.astype(jnp.int32), axis=1)
     kth = jnp.max(jnp.where(valid, d2k, 0.0), axis=1)
     r2_norm = jnp.where(n_found >= k_eff, kth, max_dist2)
@@ -388,7 +390,7 @@ def radiance_lookup(rm: Optional[RadianceMap], q, n,
         return jnp.zeros((Q, S), jnp.float32), jnp.zeros((Q,), bool)
 
     def one_block(qb, nb):
-        idx, ok, _invf = _gather_candidates(rm, qb, per_cell_cap)  # [B, M]
+        idx, ok = _gather_candidates(rm, qb, per_cell_cap)   # [B, M]
         d2 = ((rm.px[idx] - qb[:, 0:1]) ** 2
               + (rm.py[idx] - qb[:, 1:2]) ** 2
               + (rm.pz[idx] - qb[:, 2:3]) ** 2)
