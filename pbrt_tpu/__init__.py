@@ -19,7 +19,28 @@ the reference are preserved (see SURVEY.md section 2).
 
 __version__ = "0.1.0"
 
+import os as _os
+import sys as _sys
+
 import jax as _jax
+
+_DISTRIBUTED = False
+# Multi-host init must happen BEFORE anything touches the XLA backend,
+# and importing this package already does (the spectrum tables below
+# are device constants). So the jax.distributed.initialize() for the
+# CLI's --distributed flag lives here, keyed on the flag itself or the
+# explicit PBRT_COORDINATOR env (see pbrt_tpu/main.py and
+# tests/test_distributed.py).
+if "--distributed" in _sys.argv or _os.environ.get("PBRT_COORDINATOR"):
+    _kw = {}
+    if _os.environ.get("PBRT_COORDINATOR"):
+        _kw = dict(
+            coordinator_address=_os.environ["PBRT_COORDINATOR"],
+            num_processes=int(_os.environ["PBRT_NUM_PROCESSES"]),
+            process_id=int(_os.environ["PBRT_PROCESS_ID"]),
+        )
+    _jax.distributed.initialize(**_kw)
+    _DISTRIBUTED = True
 
 # TPU MXU contractions default to bfloat16 inputs; geometry is extremely
 # sensitive to the lost mantissa bits (round 3: shadow-ray origins

@@ -64,7 +64,11 @@ def coordinate_system(v1):
     """
     x, y, z = v1[..., 0], v1[..., 1], v1[..., 2]
     use_x = jnp.abs(x) > jnp.abs(y)
-    inv_a = 1.0 / jnp.sqrt(jnp.where(use_x, x * x + z * z, y * y + z * z))
+    # floor keeps zero-vector lanes (misses) at 0*finite instead of
+    # 0*inf=NaN — a NaN primal here poisons every backward pass even
+    # though forward masking hides it (autodiff 0*NaN=NaN)
+    inv_a = 1.0 / jnp.sqrt(
+        jnp.maximum(jnp.where(use_x, x * x + z * z, y * y + z * z), 1e-24))
     v2 = jnp.where(
         use_x[..., None],
         jnp.stack([-z * inv_a, jnp.zeros_like(x), x * inv_a], axis=-1),

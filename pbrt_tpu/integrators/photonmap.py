@@ -125,7 +125,7 @@ def li_photonmap(scene: CompiledScene, ctx, ray: Ray, pixel, sidx,
             lobes, frame, wo,
             iu(pixel, sidx, depth, 4, seed), iu(pixel, sidx, depth, 5, seed),
             iu(pixel, sidx, depth, 6, seed), iu(pixel, sidx, depth, 7, seed),
-            lam_nm=st.lam_nm,
+            lam_nm=st.lam_nm, u_pick=iu(pixel, sidx, depth, 8, seed),
         )
         cos_i = jnp.abs(dot(bs.wi, frame.ns))
         tp_new = st.throughput * bs.f * (cos_i / jnp.maximum(bs.pdf, 1e-12))[..., None]
@@ -197,7 +197,8 @@ def _final_gather(scene, ctx, lobes, frame, p, wo, pixel, sidx, depth, seed):
             iu(pixel, sidx, depth, 50 + 8 * g, seed),
             iu(pixel, sidx, depth, 51 + 8 * g, seed),
             iu(pixel, sidx, depth, 52 + 8 * g, seed),
-            iu(pixel, sidx, depth, 53 + 8 * g, seed))
+            iu(pixel, sidx, depth, 53 + 8 * g, seed),
+            u_pick=iu(pixel, sidx, depth, 57 + 8 * g, seed))
         # reference samples BSDF_ALL & ~BSDF_SPECULAR: drop specular picks
         ok1 = bs.valid & ~bs.is_specular & (bs.pdf > 1e-9) \
             & ~spec.is_black(bs.f)

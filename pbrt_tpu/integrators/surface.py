@@ -289,7 +289,7 @@ def _li_path_impl(scene: CompiledScene, ray: Ray, u_fn, max_depth: int,
             lobes, frame, wo,
             u_fn(depth, 4), u_fn(depth, 5),
             u_fn(depth, 6), u_fn(depth, 7),
-            lam_nm=lam_cand,
+            lam_nm=lam_cand, u_pick=u_fn(depth, 9),
         )
         commit_lambda = need_lambda & bs.did_transmit
         tp = jnp.where(

@@ -36,13 +36,19 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     if args.distributed:
-        import jax
+        # the actual jax.distributed.initialize() already ran inside
+        # `import pbrt_tpu` (package __init__) — it must precede any
+        # XLA-backend touch, and importing the package is one. The
+        # coordinator/process identity comes from the cluster plugin's
+        # autodetection or PBRT_COORDINATOR / PBRT_NUM_PROCESSES /
+        # PBRT_PROCESS_ID. After it, jax.devices() is the global device
+        # set and the single-process mesh code below is pod-wide SPMD.
+        import pbrt_tpu
 
-        # coordinator_address/num_processes/process_id come from the
-        # standard env (JAX_COORDINATOR_ADDRESS etc.) or the cluster
-        # plugin; after this, jax.devices() is the global device set and
-        # the single-process mesh code below is pod-wide SPMD.
-        jax.distributed.initialize()
+        if not pbrt_tpu._DISTRIBUTED:
+            import jax
+
+            jax.distributed.initialize()
 
     options = {
         "nCores": args.ncores,

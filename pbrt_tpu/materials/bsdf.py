@@ -515,22 +515,31 @@ class BsdfSample(NamedTuple):
     valid: jnp.ndarray       # [H] bool
 
 
-def bsdf_sample(lb: Lobes, frame: Frame, wo_w, u_lobe, u1, u2, u3=None, lam_nm=None) -> BsdfSample:
+def bsdf_sample(lb: Lobes, frame: Frame, wo_w, u_lobe, u1, u2, u3=None,
+                lam_nm=None, u_pick=None) -> BsdfSample:
     """Sample an outgoing direction. u_lobe/u1/u2/u3: [H] uniforms (u3
     drives sub-lobe choices). lam_nm: [H] wavelength (nm) carried by the
-    lane for dispersion (or <0 for dense-spectrum lanes).
+    lane for dispersion (or <0 for dense-spectrum lanes). u_pick: [H]
+    uniform driving the mix-constituent choice — pass an independent
+    sampler dimension; the fallback scramble of u_lobe correlates the
+    constituent pick with the lobe pick under low-discrepancy samplers.
 
-    Mix lanes use the one-sample mixture estimator: pick a constituent
-    with probability = amount luminance, sample it, and return
-    f = amount_c * f_c, pdf = pick_c * pdf_c — unbiased for the blended
-    BSDF amount*f1 + (1-amount)*f2 (reference mixmat.cpp:62)."""
+    Mix lanes pick a constituent with probability = amount luminance
+    and sample a direction from it. For NON-specular picks the returned
+    (f, pdf) are the FULL blend amt*f1+(1-amt)*f2 and the mixture pdf
+    ya*p1+(1-ya)*p2 — the same density bsdf_pdf reports, so both MIS
+    strategies weight with one consistent pdf (reference BSDF::Sample_f
+    over ScaledBxDFs, core/reflection.cpp:534-564, behaves this way:
+    f sums all matching BxDFs, pdf averages them). Specular picks keep
+    the single-constituent form (delta lobes cannot be cross-evaluated)."""
     if lb.mix2 is None:
         return _bsdf_sample_one(lb, frame, wo_w, u_lobe, u1, u2, u3, lam_nm)
     ya = jnp.clip(spec.y(lb.mix_amt), 0.0, 1.0)
-    u_pick = (u_lobe * 811.0) % 1.0
+    if u_pick is None:
+        u_pick = (u_lobe * 811.0) % 1.0
     choose1 = u_pick < ya
-    s1 = _bsdf_sample_one(lb._replace(mix2=None, mix_amt=None),
-                          frame, wo_w, u_lobe, u1, u2, u3, lam_nm)
+    lb1 = lb._replace(mix2=None, mix_amt=None)
+    s1 = _bsdf_sample_one(lb1, frame, wo_w, u_lobe, u1, u2, u3, lam_nm)
     s2 = _bsdf_sample_one(lb.mix2, frame, wo_w, u_lobe, u1, u2, u3, lam_nm)
 
     def sel(a, b):
@@ -539,11 +548,20 @@ def bsdf_sample(lb: Lobes, frame: Frame, wo_w, u_lobe, u1, u2, u3=None, lam_nm=N
 
     amt_c = jnp.where(choose1[..., None], lb.mix_amt, 1.0 - lb.mix_amt)
     pick_p = jnp.where(choose1, ya, 1.0 - ya)
+    wi_sel = sel(s1.wi, s2.wi)
+    is_spec = sel(s1.is_specular, s2.is_specular)
+    # non-specular picks: blended f + mixture pdf at the sampled wi
+    # (consistent with bsdf_f/bsdf_pdf; specular lobes contribute 0 to
+    # both evaluators, matching the reference's delta handling)
+    f_mix = (lb.mix_amt * _bsdf_f_one(lb1, frame, wo_w, wi_sel)
+             + (1.0 - lb.mix_amt) * _bsdf_f_one(lb.mix2, frame, wo_w, wi_sel))
+    p_mix = (ya * _bsdf_pdf_one(lb1, frame, wo_w, wi_sel)
+             + (1.0 - ya) * _bsdf_pdf_one(lb.mix2, frame, wo_w, wi_sel))
     return BsdfSample(
-        wi=sel(s1.wi, s2.wi),
-        f=amt_c * sel(s1.f, s2.f),
-        pdf=pick_p * sel(s1.pdf, s2.pdf),
-        is_specular=sel(s1.is_specular, s2.is_specular),
+        wi=wi_sel,
+        f=jnp.where(is_spec[..., None], amt_c * sel(s1.f, s2.f), f_mix),
+        pdf=jnp.where(is_spec, pick_p * sel(s1.pdf, s2.pdf), p_mix),
+        is_specular=is_spec,
         did_transmit=sel(s1.did_transmit, s2.did_transmit),
         valid=sel(s1.valid, s2.valid) & (pick_p > 1e-6),
     )

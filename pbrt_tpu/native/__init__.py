@@ -8,6 +8,7 @@ image); every caller has a pure-Python fallback.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -21,24 +22,40 @@ def _build_dir() -> str:
     return os.path.dirname(os.path.abspath(__file__))
 
 
+def _cache_dir() -> str:
+    d = os.environ.get(
+        "PBRT_TPU_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "pbrt_tpu"))
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 def load_native():
-    """-> ctypes.CDLL or None (compiles libpbrt_native.so on first use)."""
+    """-> ctypes.CDLL or None.
+
+    Always compiles on the running host, into a cache dir keyed by the
+    SOURCE CONTENT hash — never a checked-in binary (a foreign-arch or
+    -march=native .so from another machine would SIGILL on load, which
+    ctypes cannot catch) and never an mtime comparison (fresh checkouts
+    give source and binary the same mtime)."""
     global _LIB, _TRIED
     with _LOCK:
         if _LIB is not None or _TRIED:
             return _LIB
         _TRIED = True
-        d = _build_dir()
-        so = os.path.join(d, "libpbrt_native.so")
-        src = os.path.join(d, "bvh_builder.cpp")
+        src = os.path.join(_build_dir(), "bvh_builder.cpp")
         try:
-            if (not os.path.exists(so)
-                    or os.path.getmtime(so) < os.path.getmtime(src)):
+            with open(src, "rb") as f:
+                h = hashlib.sha256(f.read()).hexdigest()[:16]
+            so = os.path.join(_cache_dir(), f"libpbrt_native-{h}.so")
+            if not os.path.exists(so):
+                tmp = so + f".tmp{os.getpid()}"
                 subprocess.run(
                     ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                     src, "-o", so],
+                     src, "-o", tmp],
                     check=True, capture_output=True, timeout=120,
                 )
+                os.replace(tmp, so)
             lib = ctypes.CDLL(so)
             lib.pbrt_build_bvh.restype = ctypes.c_int
             lib.pbrt_build_bvh.argtypes = [

@@ -52,37 +52,30 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, arr):
-    """Shard the leading axis of a ray/sample batch over the mesh."""
-    return jax.device_put(arr, batch_sharding(mesh))
+    """Shard the leading axis of a ray/sample batch over the mesh.
+
+    `arr` is the FULL host array, identical on every process (the
+    driver and shooter build batches deterministically); the callback
+    form hands each process only its addressable shards, so this is
+    the same call single-host and multi-host (jax.device_put of a host
+    array onto a sharding with non-addressable devices would throw)."""
+    sh = batch_sharding(mesh)
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(arr.shape, sh, lambda idx: arr[idx])
 
 
 def replicate(mesh: Mesh, tree):
-    return jax.device_put(tree, NamedSharding(mesh, P()))
+    sh = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda a: jax.make_array_from_callback(
+            np.shape(a), sh, lambda idx, a=a: np.asarray(a)[idx]), tree)
 
 
-def sharded_render(mesh: Mesh, li_fn, ray, pixel, sidx, seed: int):
-    """Run a wavefront li over the mesh: rays sharded, output sharded.
-
-    li_fn must be shard-oblivious (pure elementwise over the batch),
-    which every integrator in pbrt_tpu.integrators is — scene tensors
-    are closed over (replicated), ray state is the only sharded input.
-    """
-    try:
-        from jax import shard_map
-    except ImportError:
-        from jax.experimental.shard_map import shard_map
-
-    fn = shard_map(
-        lambda o, d, tmin, tmax, time, pix, si: li_fn(
-            type(ray)(o, d, tmin, tmax, time), pix, si, seed
-        ),
-        mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
-        out_specs=P(AXIS),
-    )
-    return fn(ray.o, ray.d, ray.tmin, ray.tmax, ray.time, pixel, sidx)
-
-
-def psum_film(mesh: Mesh, xyz_partial):
-    """Reduce per-device film accumulators (inside shard_map bodies)."""
-    return jax.lax.psum(xyz_partial, AXIS)
+def gather_replicated(mesh: Mesh, tree):
+    """Device-side merge of a batch-sharded pytree: jit with replicated
+    out_shardings makes XLA insert the all_gather on ICI — the
+    multi-host-correct shape of the reference's photon-merge mutex
+    (core/photonshooter.cpp:280-355). After this, every process holds
+    the full arrays locally (addressable), so a host fetch is local."""
+    rep = NamedSharding(mesh, P())
+    return jax.jit(lambda t: t, out_shardings=rep)(tree)

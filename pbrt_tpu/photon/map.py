@@ -63,12 +63,26 @@ class PhotonMap(NamedTuple):
     # are a uniform subsample of the cell, keeping flux sums unbiased)
 
 
-def build_photon_map(pos: np.ndarray, alpha: np.ndarray, wi: np.ndarray,
-                     cell_size: float,
-                     target_k: int = 0) -> Optional[PhotonMap]:
-    """Host build: bucket photons on a uniform grid of `cell_size`
-    (pick ~ the query maxdist so a 3x3x3 neighborhood covers the
-    search radius).
+class MapStructure(NamedTuple):
+    """Host-computed sorted-grid structure (the discrete part of a
+    photon map). Separated from the alpha payload so pbrt_tpu.diff can
+    rebuild maps with TRACED alphas over a fixed structure: the sort
+    order is a constant index array, `alpha[order]` is a differentiable
+    gather, and gradients flow from density estimates back into photon
+    weights (and from there to light power / BSDF params)."""
+
+    order: np.ndarray        # [P] photon sort order
+    cell_start: np.ndarray   # [C + 1]
+    occ: np.ndarray          # [P] cell occupancy (sorted order)
+    lo: np.ndarray           # [3]
+    inv_cell: np.ndarray     # [3]
+    dims: Tuple[int, int, int]
+
+
+def photon_map_structure(pos: np.ndarray, cell_size: float,
+                         target_k: int = 0) -> Optional[MapStructure]:
+    """Host: bucket photons on a uniform grid of `cell_size` (pick ~ the
+    query maxdist so a 3x3x3 neighborhood covers the search radius).
 
     target_k > 0 enables density-adaptive sizing: the cell is grown so
     a 3x3x3 neighborhood holds >= ~2*target_k photons on average, which
@@ -99,25 +113,48 @@ def build_photon_map(pos: np.ndarray, alpha: np.ndarray, wi: np.ndarray,
     cid_s = cid[order]
     C = int(dims[0] * dims[1] * dims[2])
     cell_start = np.searchsorted(cid_s, np.arange(C + 1)).astype(np.int32)
-    pos_s = pos[order]
-    alpha_s = np.asarray(alpha, np.float32)[order]
-    wi_s = np.asarray(wi, np.float32)[order]
     occ_p = np.bincount(cid_s, minlength=C)[cid_s].astype(np.float32)
+    return MapStructure(order=order, cell_start=cell_start, occ=occ_p,
+                        lo=lo.astype(np.float32),
+                        inv_cell=inv_cell.astype(np.float32),
+                        dims=(int(dims[0]), int(dims[1]), int(dims[2])))
+
+
+def build_photon_map_from(st: MapStructure, pos: np.ndarray, alpha,
+                          wi: np.ndarray) -> PhotonMap:
+    """Assemble a PhotonMap over a fixed structure. `alpha` [P, S] may
+    be a TRACED array (differentiable path); pos/wi are concrete."""
+    pos_s = np.asarray(pos, np.float32)[st.order]
+    wi_s = np.asarray(wi, np.float32)[st.order]
+    if isinstance(alpha, np.ndarray):
+        alpha_t = jnp.asarray(np.asarray(alpha, np.float32)[st.order].T.copy())
+    else:
+        alpha_t = jnp.take(alpha, jnp.asarray(st.order), axis=0).T
     return PhotonMap(
         px=jnp.asarray(pos_s[:, 0]),
         py=jnp.asarray(pos_s[:, 1]),
         pz=jnp.asarray(pos_s[:, 2]),
-        alpha_t=jnp.asarray(alpha_s.T.copy()),
+        alpha_t=alpha_t,
         wix=jnp.asarray(wi_s[:, 0]),
         wiy=jnp.asarray(wi_s[:, 1]),
         wiz=jnp.asarray(wi_s[:, 2]),
-        cell_start=jnp.asarray(cell_start),
-        grid_lo=jnp.asarray(lo, jnp.float32),
-        inv_cell=jnp.asarray(inv_cell, jnp.float32),
-        dims=(int(dims[0]), int(dims[1]), int(dims[2])),
-        count=P,
-        occ=jnp.asarray(occ_p),
+        cell_start=jnp.asarray(st.cell_start),
+        grid_lo=jnp.asarray(st.lo),
+        inv_cell=jnp.asarray(st.inv_cell),
+        dims=st.dims,
+        count=len(pos_s),
+        occ=jnp.asarray(st.occ),
     )
+
+
+def build_photon_map(pos: np.ndarray, alpha: np.ndarray, wi: np.ndarray,
+                     cell_size: float,
+                     target_k: int = 0) -> Optional[PhotonMap]:
+    """Host build (structure + concrete payload in one step)."""
+    st = photon_map_structure(pos, cell_size, target_k)
+    if st is None:
+        return None
+    return build_photon_map_from(st, pos, np.asarray(alpha, np.float32), wi)
 
 
 def _gather_candidates(pm, q, per_cell_cap: int):
@@ -154,6 +191,31 @@ def _gather_candidates(pm, q, per_cell_cap: int):
                 cand_ok.append(ok)
     return (jnp.concatenate(cand_idx, axis=1),
             jnp.concatenate(cand_ok, axis=1))
+
+
+def _candidate_count(pm, qb) -> jnp.ndarray:
+    """Total photon candidates in the 27-cell neighborhoods of a query
+    block — a cheap [B, 27] cell_start probe, used to lax.cond-skip the
+    full gather+top-k for blocks whose neighborhoods are all empty
+    (march steps outside the photon cloud: most of a beam-localized
+    workload like pinkfloyd's prism)."""
+    nx, ny, nz = pm.dims
+    cq = ((qb - pm.grid_lo) * pm.inv_cell)
+    cxi = jnp.clip(jnp.floor(cq[..., 0]).astype(jnp.int32), 0, nx - 1)
+    cyi = jnp.clip(jnp.floor(cq[..., 1]).astype(jnp.int32), 0, ny - 1)
+    czi = jnp.clip(jnp.floor(cq[..., 2]).astype(jnp.int32), 0, nz - 1)
+    total = jnp.zeros(qb.shape[:-1], jnp.int32)
+    for dz in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                x, y, z = cxi + dx, cyi + dy, czi + dz
+                inb = ((x >= 0) & (x < nx) & (y >= 0) & (y < ny)
+                       & (z >= 0) & (z < nz))
+                cid = ((jnp.clip(z, 0, nz - 1) * ny + jnp.clip(y, 0, ny - 1))
+                       * nx + jnp.clip(x, 0, nx - 1))
+                cnt = pm.cell_start[cid + 1] - pm.cell_start[cid]
+                total = total + jnp.where(inb, cnt, 0)
+    return total
 
 
 def _default_cap(k: int) -> int:
@@ -260,7 +322,7 @@ def knn_weighted_flux(pm: Optional[PhotonMap], q: jnp.ndarray, k: int,
         while block > 512 and S * block * max(k, 1) * 4 > (96 << 20):
             block //= 2
 
-    def one_block(qb, *eb):
+    def live_block(qb, *eb):
         gi, d2k, valid, r2n, r2f, n_found, invf = _topk_phase(
             pm, qb, k, max_dist2, cap)
         w = weight_fn(pm.wix[gi], pm.wiy[gi], pm.wiz[gi], d2k, valid, r2n, *eb)
@@ -273,6 +335,26 @@ def knn_weighted_flux(pm: Optional[PhotonMap], q: jnp.ndarray, k: int,
             flux = jnp.einsum("sbk,bk->bs", A, w)
         return FluxResult(flux=flux, n_found=n_found, r2_norm=r2n,
                           r2_found=r2f)
+
+    def one_block(qb, *eb):
+        # skip the gather+top-k entirely when every query's 27-cell
+        # neighborhood is empty — in a marched workload most steps lie
+        # outside the photon cloud, and the probe is 54 cheap gathers
+        # vs a [S, B, K] gather + top-k per block
+        B = qb.shape[0]
+        any_cand = jnp.any(_candidate_count(pm, qb) > 0)
+        flux_sd = jax.eval_shape(lambda: live_block(qb, *eb)).flux
+
+        def dead(_):
+            return FluxResult(
+                flux=jnp.zeros(flux_sd.shape, flux_sd.dtype),
+                n_found=jnp.zeros((B,), jnp.int32),
+                r2_norm=jnp.full((B,), max(max_dist2, 1e-12), jnp.float32),
+                r2_found=jnp.full((B,), max(max_dist2, 1e-12), jnp.float32),
+            )
+
+        return jax.lax.cond(any_cand, lambda _: live_block(qb, *eb),
+                            dead, None)
 
     return _block_map(one_block, q, tuple(extras), block)
 

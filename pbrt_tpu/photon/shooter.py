@@ -78,31 +78,29 @@ class PhotonCtx:
     max_photon_depth: int
 
 
-def _shoot_batch_fn(scene: CompiledScene, max_depth: int, has_volume: bool):
+def _shoot_batch_fn(scene: CompiledScene, max_depth: int, has_volume: bool,
+                    sig_majorant: Optional[float] = None, use_jit: bool = True):
     """Build the jitted one-batch shooting function.
 
     Returns per-bounce record arrays, classes:
       0 none / 1 caustic / 2 indirect / 3 direct / 4 volume
+
+    sig_majorant: pass a precomputed (static) majorant when the scene's
+    sigma tables are traced values (pbrt_tpu.diff re-traces shooting
+    with differentiable parameters; the majorant is a detached sampling
+    control, not a differentiated quantity). use_jit=False returns the
+    raw traceable function for use inside an outer jax.grad trace.
     """
     lights = scene.lights
     world_c = jnp.asarray(0.5 * (scene.world_lo + scene.world_hi), jnp.float32)
     world_rad = float(np.linalg.norm(scene.world_hi - scene.world_lo) * 0.5) + 1e-3
     vol = scene.volume
-    if has_volume and vol is not None:
-        # majorant in the same scalarization as the acceptance test
-        # (y-weighted mean), over the sum of overlapping volumes; grid
-        # densities scale it
-        sig_spec = np.asarray(vol.sigma_a + vol.sigma_s).sum(0)  # [S]
-        y_ones = float(np.asarray(spec.y(np.ones((1, S), np.float32)))[0])
-        sig_max = float(np.asarray(spec.y(sig_spec[None, :]))[0]) / max(y_ones, 1e-12)
-        gmax = float(np.max(np.asarray(vol.grid))) if np.asarray(vol.grid).size else 1.0
-        sig_majorant = max(sig_max * max(gmax, 1.0), 1e-6)
-    else:
-        sig_majorant = 1.0
+    if sig_majorant is None:
+        sig_majorant = compute_majorant(scene, has_volume)
 
     from pbrt_tpu.lights.lighting import sample_light_ray
 
-    def batch(lane, shot_base, seed):
+    def batch(lane, shot_base, seed):  # noqa: C901
         B = lane.shape[0]
         zf = jnp.zeros((B,), jnp.float32)
 
@@ -255,7 +253,8 @@ def _shoot_batch_fn(scene: CompiledScene, max_depth: int, has_volume: bool):
             frame = make_frame(hit)
             wo = -normalize(ray_d)
             bs = bsdf_sample(lobes, frame, wo, u(depth, 31), u(depth, 32),
-                             u(depth, 33), u(depth, 34), lam_nm=lam_nm)
+                             u(depth, 33), u(depth, 34), lam_nm=lam_nm,
+                             u_pick=u(depth, 38))
             cos_i = jnp.abs(dot(bs.wi, frame.ns))
             anew = alpha * bs.f * (cos_i / jnp.maximum(bs.pdf, 1e-12))[..., None]
             # Russian roulette on throughput ratio (reference :214-224)
@@ -284,7 +283,20 @@ def _shoot_batch_fn(scene: CompiledScene, max_depth: int, has_volume: bool):
         rp = jnp.stack(rec_rp, 1)         # [B, D] bool
         return pos, al, wi, cls, rn, rr, rt, rp
 
-    return jax.jit(batch, static_argnames=())
+    return jax.jit(batch, static_argnames=()) if use_jit else batch
+
+
+def compute_majorant(scene: CompiledScene, has_volume: bool) -> float:
+    """Static Woodcock majorant: y-weighted mean sigma_t over the sum of
+    overlapping volumes, scaled by the max grid density."""
+    vol = scene.volume
+    if not (has_volume and vol is not None):
+        return 1.0
+    sig_spec = np.asarray(vol.sigma_a + vol.sigma_s).sum(0)  # [S]
+    y_ones = float(np.asarray(spec.y(np.ones((1, S), np.float32)))[0])
+    sig_max = float(np.asarray(spec.y(sig_spec[None, :]))[0]) / max(y_ones, 1e-12)
+    gmax = float(np.max(np.asarray(vol.grid))) if np.asarray(vol.grid).size else 1.0
+    return max(sig_max * max(gmax, 1.0), 1e-6)
 
 
 def build_photon_maps(scene: CompiledScene, surf_params, vol_params,
@@ -371,6 +383,12 @@ def build_photon_maps(scene: CompiledScene, surf_params, vol_params,
             shot_arr = pmesh.shard_batch(shoot_mesh, shot_arr)
         pos, al, wi, cls, rn, rr, rt, rp = batch_fn(
             lane, shot_arr, int(options.get("seed", 0)))
+        if shoot_mesh is not None:
+            # device-side all_gather: every process ends up holding the
+            # full batch locally, so the np.asarray below is a local
+            # fetch even multi-host (the reference's merge-mutex analog)
+            pos, al, wi, cls, rn, rr, rt, rp = pmesh.gather_replicated(
+                shoot_mesh, (pos, al, wi, cls, rn, rr, rt, rp))
         shots += B
         pos = np.asarray(pos).reshape(-1, 3)
         al = np.asarray(al).reshape(-1, S)

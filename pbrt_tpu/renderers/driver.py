@@ -312,7 +312,11 @@ def render_sampler(scene: CompiledScene, ro: RenderOptions, film, camera,
     n_pix = film.nx * film.ny
     n_tiles = (n_pix + pix_per_tile - 1) // pix_per_tile
 
-    from pbrt_tpu.samplers.samplers import S_ADAPTIVE, adaptive_needs
+    from pbrt_tpu.samplers.samplers import (
+        S_ADAPTIVE,
+        adaptive_needs,
+        adaptive_needs_shapeid,
+    )
     from pbrt_tpu.core import spectrum as _spec
     import dataclasses as _dc
 
@@ -335,7 +339,15 @@ def render_sampler(scene: CompiledScene, ro: RenderOptions, film, camera,
                              pix_ids.shape[0])
             L1 = li_fn(ray1, cs1.pixel, sidx1, seed)
             L1 = jnp.nan_to_num(L1, nan=0.0, posinf=0.0, neginf=0.0)
-            needs = adaptive_needs(_spec.y(L1), pix_ids.shape[0], spp_min)
+            if sampler.adaptive_method == "shapeid":
+                # geometric-discontinuity veto (adaptive.cpp:182-185):
+                # supersample pixels whose samples hit different prims
+                _t1, prim1 = _first_hit_t(scene, ray1)
+                needs = adaptive_needs_shapeid(prim1, pix_ids.shape[0],
+                                               spp_min)
+            else:
+                needs = adaptive_needs(_spec.y(L1), pix_ids.shape[0],
+                                       spp_min)
             # supersample pass: lanes of passing pixels get an empty ray
             # interval (near-free in the packet pipeline) + zero weight
             cs = camera_samples(sampler, pix_x, pix_y, film.xres, seed + 1)
@@ -393,17 +405,27 @@ def render_sampler(scene: CompiledScene, ro: RenderOptions, film, camera,
             ids = np.concatenate([ids, np.full(pix_per_tile - len(ids), ids[-1] if len(ids) else 0, np.int32)])
             # duplicate deposits on the padded pixel are normalized out by
             # the matching weight accumulation
-        ids_dev = jnp.asarray(ids)
-        if sharding is not None:
-            ids_dev = jax.device_put(ids_dev, sharding)
+        if mesh is not None:
+            # multiprocess-correct shard (each process contributes its
+            # addressable shards of the identical host batch)
+            ids_dev = pmesh.shard_batch(mesh, ids)
+        else:
+            ids_dev = jnp.asarray(ids)
         xyz, w = render_tile(ids_dev, xyz, w)
         probes.count("render/tiles")
         probes.count("render/camera_samples",
                      min(pix_per_tile, n_pix - ti * pix_per_tile) * spp)
         if ckpt_path and (ti + 1) % ckpt_every == 0 and ti + 1 < n_tiles:
-            np.savez(ckpt_path, xyz=np.asarray(xyz), weight=np.asarray(w),
+            cx, cw = ((xyz, w) if mesh is None
+                      else pmesh.gather_replicated(mesh, (xyz, w)))
+            np.savez(ckpt_path, xyz=np.asarray(cx), weight=np.asarray(cw),
                      tile=ti + 1, shape=(film.ny, film.nx), spp=spp, seed=seed)
         progress("Rendering", ti + 1, n_tiles, t_start)
+    if mesh is not None:
+        # replicate the film before the host fetch (multi-host: every
+        # process ends with the full image, the psum-merge analog of
+        # the reference's film atomics, SURVEY.md §2.4)
+        xyz, w = pmesh.gather_replicated(mesh, (xyz, w))
     state = film_mod.FilmState(xyz=xyz, weight=w, splat=state.splat)
 
     rgb = film_mod.write_image(film, state) if options.get("write", True) else film_mod.to_rgb(film, state)

@@ -56,6 +56,7 @@ class CompiledScene:
     world_lo: np.ndarray = None
     world_hi: np.ndarray = None
     accel: object = None                   # BvhScene (set in compile_scene)
+    kd_scale: object = None                # [M, S] diff-param albedo scale
     meas_tables: object = None             # [T,TH,TD,PD,3] measured BRDFs
     meas_index: dict = field(default_factory=dict)  # id(material) -> table row
     alpha_textures: list = field(default_factory=list)  # alpha masks
@@ -639,6 +640,11 @@ def eval_bsdf_params(scene: CompiledScene, hit) -> BsdfParams:
     for mi, mat in enumerate(scene.materials):
         sel = hit.mat == mi
         p = _lower_material(mat, sg, H)
+        if scene.kd_scale is not None:
+            # differentiable-parameter hook (pbrt_tpu.diff): per-material
+            # spectral scale on the diffuse albedo — gradients w.r.t.
+            # BSDF albedos flow through here
+            p = p._replace(kd=p.kd * scene.kd_scale[mi])
         if has_mix and p.mix2 is None:
             # non-mix materials in a mix scene: uniform pytree structure
             # (amount 1 routes all weight to the primary constituent)
@@ -740,6 +746,11 @@ def _lower_material(mat: MaterialRecord, sg: ShadingGeom, H: int) -> BsdfParams:
         # (materials/bsdf.py mix wrappers). Nested mixes flatten to
         # their first constituent.
         m1, m2 = mat.children
+        if any(getattr(c, "kind", None) == "mix" for c in (m1, m2)):
+            from pbrt_tpu.core.error import warning
+            warning("nested mix materials flatten to their first "
+                    "constituent (mix(mix(a,b),c) renders as mix(a,c)); "
+                    "the reference recursively concatenates ScaledBxDFs")
         amt = _tex_spec(mat, "amount", sg, H, 0.5)
         p1 = _lower_material(m1, sg, H)
         p2 = _lower_material(m2, sg, H)

@@ -394,10 +394,18 @@ class MarbleTexture(Texture):
 
 class ImageMapTexture(Texture):
     """MIPMap'd image texture (reference textures/imagemap.cpp,
-    core/mipmap.h). Stores a full mip pyramid; trilinear filtering on
-    device via per-level bilinear gathers."""
+    core/mipmap.h). Stores a full mip pyramid. Filtering follows the
+    reference's contract: EWA anisotropic filtering by DEFAULT
+    (core/mipmap.h:50-97, `doTrilinear` defaults false), trilinear only
+    when the scene asks for it. The EWA form is TPU-shaped: instead of
+    the reference's dynamic-extent ellipse raster loop (mipmap.h EWA),
+    a FIXED number of Gaussian-weighted bilinear taps along the
+    footprint's major axis, at the mip level set by the minor axis —
+    the footprint-assembly approximation of EWA, static shapes by
+    construction."""
 
     _cache: dict = {}
+    N_EWA_TAPS = 8
 
     def __init__(self, mapping, filename: str, spectral: bool, trilinear=True,
                  max_aniso=8.0, wrap="repeat", scale=1.0, gamma=1.0):
@@ -405,6 +413,8 @@ class ImageMapTexture(Texture):
         self.spectral = spectral
         self.wrap = wrap
         self.scale = scale
+        self.trilinear = bool(trilinear)
+        self.max_aniso = float(max(max_aniso, 1.0))
         key = (filename, gamma)
         if key in ImageMapTexture._cache:
             img = ImageMapTexture._cache[key]
@@ -473,26 +483,66 @@ class ImageMapTexture(Texture):
             + (1 - fx_) * fy_ * v01 + fx_ * fy_ * v11
         )
 
-    def eval(self, sg):
-        s, t, dsdx, dtdx, dsdy, dtdy = self.mapping.map(sg)
-        width = jnp.maximum(
-            jnp.maximum(jnp.abs(dsdx), jnp.abs(dtdx)),
-            jnp.maximum(jnp.abs(dsdy), jnp.abs(dtdy)),
-        )
+    def _two_level_lerp(self, ss, tt, l0, fl):
+        """Bilinear lookup at levels l0 and l0+1, lerped by fl. ss/tt
+        may carry a leading taps axis broadcast against l0/fl [H]."""
         n_levels = len(self.levels)
-        lvl = n_levels - 1 + jnp.log2(jnp.maximum(width, 1e-8))
-        lvl = jnp.clip(lvl, 0.0, n_levels - 1)
-        l0 = jnp.floor(lvl).astype(jnp.int32)
-        fl = lvl - l0
-        # trilinear: gather from every level, select the two active ones
-        # (few levels; XLA fuses the selects)
-        out0 = self._lookup_level(self.levels[0], s, t)
+        extra = ss.ndim - l0.ndim
+        l0b = l0.reshape((1,) * extra + l0.shape)
+        flb = fl.reshape((1,) * extra + fl.shape)
+        out0 = self._lookup_level(self.levels[0], ss, tt)
         out1 = out0
         for i in range(1, n_levels):
-            li = self._lookup_level(self.levels[i], s, t)
-            out0 = jnp.where((l0 == i)[..., None], li, out0)
-            out1 = jnp.where((l0 + 1 == i)[..., None], li, out1)
-        rgb = ((1 - fl)[..., None] * out0 + fl[..., None] * out1) * self.scale
+            li = self._lookup_level(self.levels[i], ss, tt)
+            out0 = jnp.where((l0b == i)[..., None], li, out0)
+            out1 = jnp.where((l0b + 1 == i)[..., None], li, out1)
+        return (1 - flb)[..., None] * out0 + flb[..., None] * out1
+
+    def _ewa(self, s, t, dsdx, dtdx, dsdy, dtdy):
+        """Anisotropic footprint filter (reference core/mipmap.h:50-97
+        Lookup(..., dstdx, dstdy) -> EWA): mip level from the MINOR
+        ellipse axis (clamped to maxanisotropy), Gaussian-weighted taps
+        spread along the MAJOR axis."""
+        lx = dsdx * dsdx + dtdx * dtdx
+        ly = dsdy * dsdy + dtdy * dtdy
+        swap = ly > lx
+        maj_s = jnp.where(swap, dsdy, dsdx)
+        maj_t = jnp.where(swap, dtdy, dtdx)
+        maj_len = jnp.sqrt(jnp.maximum(jnp.maximum(lx, ly), 1e-16))
+        min_len = jnp.sqrt(jnp.maximum(jnp.minimum(lx, ly), 1e-16))
+        # clamp eccentricity (reference mipmap.h: scale minor up so
+        # majorLength/minorLength <= maxAnisotropy)
+        min_len = jnp.maximum(min_len, maj_len / self.max_aniso)
+        n_levels = len(self.levels)
+        lvl = jnp.clip(n_levels - 1 + jnp.log2(jnp.maximum(min_len, 1e-8)),
+                       0.0, n_levels - 1)
+        l0 = jnp.floor(lvl).astype(jnp.int32)
+        fl = lvl - l0
+        T = self.N_EWA_TAPS
+        u = (jnp.arange(T, dtype=jnp.float32) + 0.5) / T - 0.5  # [-.5, .5)
+        w = jnp.exp(-2.0 * (2.0 * u) ** 2)
+        w = w / jnp.sum(w)
+        ss = s[None, ...] + u.reshape((T,) + (1,) * s.ndim) * maj_s[None, ...]
+        tt = t[None, ...] + u.reshape((T,) + (1,) * s.ndim) * maj_t[None, ...]
+        taps = self._two_level_lerp(ss, tt, l0, fl)      # [T, H, C]
+        return jnp.sum(w.reshape((T,) + (1,) * (taps.ndim - 1)) * taps, 0)
+
+    def eval(self, sg):
+        s, t, dsdx, dtdx, dsdy, dtdy = self.mapping.map(sg)
+        n_levels = len(self.levels)
+        if self.trilinear:
+            # isotropic width = max differential (reference
+            # mipmap.h triangle-filter path)
+            width = jnp.maximum(
+                jnp.maximum(jnp.abs(dsdx), jnp.abs(dtdx)),
+                jnp.maximum(jnp.abs(dsdy), jnp.abs(dtdy)),
+            )
+            lvl = n_levels - 1 + jnp.log2(jnp.maximum(width, 1e-8))
+            lvl = jnp.clip(lvl, 0.0, n_levels - 1)
+            l0 = jnp.floor(lvl).astype(jnp.int32)
+            rgb = self._two_level_lerp(s, t, l0, lvl - l0) * self.scale
+        else:
+            rgb = self._ewa(s, t, dsdx, dtdx, dsdy, dtdy) * self.scale
         if self.spectral:
             return spec.from_rgb(rgb)
         return rgb.mean(-1)

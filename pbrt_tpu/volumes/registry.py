@@ -235,12 +235,34 @@ def intersect_p(vol: VolumeT, ray_o, ray_d, tmin, tmax):
 
 
 def tau(vol: VolumeT, ray_o, ray_d, t0, t1, n_steps: int, u_offset):
-    """Optical thickness integral along [t0, t1] by ray marching
-    (reference core/volume.cpp DensityRegion::tau). Returns [R, S].
+    """Optical thickness integral along [t0, t1]. Returns [R, S].
 
-    u_offset [R] jitters the first sample (matches the reference's
-    sample-driven offset). Step count is static for jit.
+    All-homogeneous scenes (incl. rainbow) get the CLOSED FORM the
+    reference's HomogeneousVolumeDensity::tau uses (volumes/
+    homogeneous.h: sigma_t * clipped segment length) — exact, and it
+    removes the n_steps sub-march that otherwise runs INSIDE every
+    outer march step (the reference only ray-marches tau for
+    DensityRegion subclasses, core/volume.cpp).
+
+    u_offset [R] jitters the first sample of the marched fallback
+    (matches the reference's sample-driven offset). Step count is
+    static for jit.
     """
+    kinds = np.asarray(vol.kind)
+    if all(int(k) in (V_HOMOGENEOUS, V_RAINBOW) for k in kinds):
+        acc = jnp.zeros(ray_o.shape[:-1] + (S,), jnp.float32)
+        for vi in range(vol.n_volumes):
+            o = xform_point_affine(vol.w2v[vi], ray_o)
+            d = xform_vector(vol.w2v[vi], ray_d)
+            inv_d = 1.0 / d
+            tl = (vol.lo[vi] - o) * inv_d
+            th = (vol.hi[vi] - o) * inv_d
+            tn = jnp.maximum(jnp.max(jnp.minimum(tl, th), axis=-1), t0)
+            tf = jnp.minimum(jnp.min(jnp.maximum(tl, th), axis=-1), t1)
+            seg = jnp.maximum(tf - tn, 0.0)
+            acc = acc + seg[..., None] * (vol.sigma_a[vi] + vol.sigma_s[vi])
+        return acc
+
     length = jnp.maximum(t1 - t0, 0.0)
     dt = length / n_steps
 

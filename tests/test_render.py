@@ -197,6 +197,41 @@ def test_adaptive_contrast_veto_unit():
     assert not np.asarray(adaptive_needs(yb, 1, 4)).any()
 
 
+def test_adaptive_shapeid_veto_unit():
+    import jax.numpy as jnp
+    from pbrt_tpu.samplers.samplers import adaptive_needs_shapeid
+
+    # pixel 0: all samples hit prim 7 -> keep; pixel 1: edge (7 vs 9)
+    # -> veto; pixel 2: hit/miss mix -> veto; pixel 3: all miss -> keep
+    prim = jnp.asarray([7, 7, 7, 7,
+                        7, 9, 7, 7,
+                        3, 3, -1, 3,
+                        -1, -1, -1, -1], jnp.int32)
+    needs = np.asarray(adaptive_needs_shapeid(prim, 4, 4))
+    assert needs.tolist() == [False, True, True, False]
+
+
+def test_adaptive_shapeid_render(tmp_path):
+    """The shapeid method through the full driver (reference
+    samplers/adaptive.cpp:182-185): silhouette pixels supersample."""
+    src = """
+    Film "image" "integer xresolution" [24] "integer yresolution" [24]
+    Sampler "adaptive" "integer minsamples" [2] "integer maxsamples" [8]
+      "string method" ["shapeid"]
+    LookAt 0 0 -4  0 0 0  0 1 0
+    Camera "perspective" "float fov" [40]
+    WorldBegin
+    LightSource "distant" "point from" [0 0 -4] "point to" [0 0 0]
+      "rgb L" [8 8 8]
+    Material "matte" "rgb Kd" [.8 .8 .8]
+    Shape "sphere" "float radius" [1]
+    WorldEnd
+    """
+    img = _render(tmp_path, src)
+    assert np.all(np.isfinite(img))
+    assert img.max() > 0.01
+
+
 def test_adaptive_render_varies_spp(tmp_path):
     """The adaptive sampler's veto loop must actually fire: a scene with
     a hard silhouette gets supersampled edge pixels and min-sampled flat

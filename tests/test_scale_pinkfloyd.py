@@ -62,14 +62,22 @@ def test_pinkfloyd_5m_crop(tmp_path):
     assert np.all(np.isfinite(img))
     assert float(img.mean()) > 0.0
 
+    # residency probe: memory_stats() lacks peak_bytes_in_use on some
+    # backends (axon), so fall back to summing the live device buffers —
+    # a real measurement either way, and assert it is nonzero so the
+    # probe can never silently report 0.00 GiB again
+    import jax
+
     stats = {}
     try:
-        import jax
-
         stats = jax.devices()[0].memory_stats() or {}
     except Exception:
         pass
-    peak = stats.get("peak_bytes_in_use", 0)
+    peak = stats.get("peak_bytes_in_use") or stats.get("bytes_in_use") or 0
+    live = sum(b.nbytes for b in jax.live_arrays())
+    measured = peak or live
+    assert measured > 0, "device-memory probe measured nothing"
+    kind = "peak" if peak else "live-buffer"
     print(f"\npinkfloyd 5M/nused500 256^2 crop: {dt:.0f}s total, "
-          f"peak device memory {peak / 2**30:.2f} GiB, "
+          f"{kind} device memory {measured / 2**30:.2f} GiB, "
           f"image mean {float(img.mean()):.5f}")
