@@ -190,7 +190,13 @@ def li_irradiance(scene: CompiledScene, ray: Ray, pixel, sidx,
         scene, lobes, frame, hit.p, wo,
         iu(pixel, sidx, 0, 0, seed), iu(pixel, sidx, 0, 1, seed),
         iu(pixel, sidx, 0, 2, seed), hit.valid, transmittance_fn)
-    # hemisphere irradiance: ns cosine rays, 1-bounce path radiance
+    # hemisphere irradiance: ns cosine gather rays, shaded by DIRECT
+    # lighting at the gather hit only — the reference's pathL
+    # (irradiancecache.cpp) adds UniformSampleOneLight per path vertex
+    # and never the vertex's own Le, so a gather ray that happens to
+    # strike the area light contributes nothing (its direct term was
+    # already estimated above; adding Le here double-counted it, 2x
+    # bright on area-lit scenes — caught by the ref_irr golden)
     E = jnp.zeros((N, S), jnp.float32)
     for g in range(n_samples):
         wl = cosine_sample_hemisphere(iu(pixel, sidx, g, 20, seed),
@@ -200,11 +206,19 @@ def li_irradiance(scene: CompiledScene, ray: Ray, pixel, sidx,
         wi = frame.to_world(wl)
         gray = Ray(hit.p + wi * RAY_EPS, wi, jnp.zeros((N,)),
                    jnp.full((N,), BIG), jnp.zeros((N,)))
-        Lg = li_path(scene, gray, pixel, sidx + 7919 * (g + 1), max_depth=1,
-                     seed=seed + 31)
-        E = E + Lg  # pdf = cos/pi cancels the cos: E += pi * L / n
+        ghit = scene.intersect(gray)
+        gparams = eval_bsdf_params(scene, ghit)
+        globes = material_lobes(gparams)
+        gframe = make_frame(ghit)
+        Lg = estimate_direct(
+            scene, globes, gframe, ghit.p, -wi,
+            iu(pixel, sidx, g, 22, seed), iu(pixel, sidx, g, 23, seed),
+            iu(pixel, sidx, g, 24, seed), ghit.valid & hit.valid,
+            transmittance_fn)
+        E = E + jnp.where(ghit.valid[..., None], Lg, 0.0)
+        # pdf = cos/pi cancels the cosine: E += pi * L / n
     E = E * (jnp.pi / n_samples)
-    L = L + lobes.diff_r * INV_PI * E * jnp.pi / jnp.pi  # rho/pi * E
+    L = L + lobes.diff_r * INV_PI * E  # rho/pi * E
     return jnp.where(hit.valid[..., None], L, L)
 
 
@@ -316,18 +330,20 @@ def li_diffuseprt(scene: CompiledScene, ray: Ray, pixel, sidx, lmax: int = 4,
     c_light = _light_sh(scene, lmax)  # [T, S]
     T = shm.sh_terms(lmax)
     trans = jnp.zeros((N, T), jnp.float32)
-    from pbrt_tpu.core.sampling import uniform_sample_sphere
-
+    # transfer T = int V(w) max(0, n.w) Y(w) dw, sampled with the
+    # cosine-hemisphere pdf cos/pi (the uniform-sphere form wasted half
+    # the rays below the horizon and carried the cos in the weight —
+    # ~3x the variance at equal sample count)
     for g in range(n_samples):
-        w = uniform_sample_sphere(iu(pixel, sidx, g, 30, seed),
-                                  iu(pixel, sidx, g, 31, seed))
-        cos_i = jnp.maximum(dot(w, hit.ns), 0.0)
+        wl = cosine_sample_hemisphere(iu(pixel, sidx, g, 30, seed),
+                                      iu(pixel, sidx, g, 31, seed))
+        w = frame.to_world(wl)
         from pbrt_tpu.integrators.surface import _occluded
 
-        vis_ok = hit.valid & (cos_i > 0)
+        vis_ok = hit.valid
         occ = _occluded(scene, hit.p, w, jnp.full((N,), BIG), vis_ok)
         Y = shm.sh_evaluate(w, lmax)
-        weight = jnp.where(vis_ok & ~occ, cos_i, 0.0) * (4.0 * jnp.pi / n_samples)
+        weight = jnp.where(vis_ok & ~occ, 1.0, 0.0) * (jnp.pi / n_samples)
         trans = trans + Y * weight[..., None]
     L = jnp.einsum("nt,ts->ns", trans, c_light) * lobes.diff_r * INV_PI
     return jnp.where(hit.valid[..., None], jnp.maximum(L, 0.0), 0.0)

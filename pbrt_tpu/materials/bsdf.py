@@ -190,6 +190,9 @@ def _material_lobes_one(p: BsdfParams) -> Lobes:
         + jnp.where(is_("translucent"), p.kd * p.kr, 0.0)  # kr slot = reflect
         + jnp.where(is_("uber"), p.kd * op, 0.0)
         + jnp.where(is_("kdsubsurface"), zs, 0.0)
+        # substrate: Kd lives in the diff slot for the FresnelBlend
+        # (consumed by _fb_f; the plain lambertian path zeroes fb lanes)
+        + jnp.where(is_("substrate"), p.kd, 0.0)
     )
     diff_t = jnp.where(is_("translucent"), p.kd * p.kt, 0.0)  # kt slot = transmit
 
@@ -591,7 +594,10 @@ def _bsdf_sample_one(lb: Lobes, frame: Frame, wo_w, u_lobe, u1, u2,
     wi_diff = cosine_sample_hemisphere(u1, u2)
     wdr, wdt = spec.y(lb.diff_r), spec.y(lb.diff_t)
     wd_tot = jnp.maximum(wdr + wdt, 1e-12)
-    diff_transmit = u3 > (wdr / wd_tot)
+    # transmit only when a diffuse-transmission lobe actually exists —
+    # an all-zero diffuse slot must not flip the candidate under the
+    # horizon (it burned half the FresnelBlend samples pre-round-5)
+    diff_transmit = (wdt > 1e-9) & (u3 > (wdr / wd_tot))
     wi_diff = jnp.where(diff_transmit[..., None], wi_diff * jnp.asarray([1.0, 1.0, -1.0]), wi_diff)
     wi_diff = jnp.where((wo[..., 2] < 0)[..., None], wi_diff * jnp.asarray([1.0, 1.0, -1.0]), wi_diff)
 

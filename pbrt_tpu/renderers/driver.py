@@ -219,9 +219,15 @@ def build_li_fn(scene: CompiledScene, ro: RenderOptions, options: dict):
         if sname == "diffuseprt":
             from pbrt_tpu.integrators.extra import li_diffuseprt
 
-            return li_diffuseprt(scene, ray, pixel, sidx,
-                                 lmax=sp.find_one_int("lmax", 4),
-                                 n_samples=8 if quick else 16, seed=seed)
+            return li_diffuseprt(
+                scene, ray, pixel, sidx,
+                lmax=sp.find_one_int("lmax", 4),
+                # honor the scene's nsamples (reference diffuseprt.cpp
+                # default 4096), capped: the wavefront re-evaluates the
+                # transfer per camera sample
+                n_samples=8 if quick else min(
+                    64, max(16, sp.find_one_int("nsamples", 4096) // 64)),
+                seed=seed)
         if sname == "glossyprt":
             from pbrt_tpu.integrators.extra import li_glossyprt
 

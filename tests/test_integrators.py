@@ -96,6 +96,48 @@ def test_metropolis_smoke(tmp_path):
     assert rgb.max() > 0.0
 
 
+def test_metropolis_matches_sampler_statistically(tmp_path):
+    """The reference QA pattern for MLT (renderers/metropolis.cpp:514-
+    521 is tuned so the splat-scaled mean matches the sampler
+    renderer's estimate): render the SAME scene through both renderers
+    and require the mean images to agree within MC tolerance — a
+    mutation/bootstrap bug (wrong b, broken accept ratio, bad stream
+    split) shifts total energy and fails this where a finite-and-
+    nonzero smoke test would pass."""
+    scene_body = """
+    Film "image" "integer xresolution" [24] "integer yresolution" [24]
+    LookAt 0 1 -3  0 0 0  0 1 0
+    Camera "perspective" "float fov" [50]
+    """
+    world = WORLD
+    path = tmp_path / "mlt.pbrt"
+
+    def run(renderer_line, sampler_line):
+        path.write_text(textwrap.dedent(
+            scene_body + sampler_line + renderer_line + world))
+        api.pbrt_init({"quiet": True, "write": False})
+        try:
+            parser.parse_file(str(path))
+            return np.asarray(api.get_state().output)
+        finally:
+            api._state.__init__()
+
+    ref = run("", 'Sampler "lowdiscrepancy" "integer pixelsamples" [8]\n')
+    mlt = run('Renderer "metropolis" "integer samplesperpixel" [16]\n'
+              '  "integer bootstrapsamples" [8192]\n'
+              '  "bool dodirectseparately" ["true"]\n', "")
+    assert ref.shape == mlt.shape
+    level = max(float(ref.mean()), 1e-6)
+    # total energy: tight systematic agreement
+    assert abs(float(mlt.mean()) - level) / level < 0.15, (
+        mlt.mean(), ref.mean())
+    # spatial distribution: 6x6 block means agree within MC noise
+    rb = ref.reshape(4, 6, 4, 6, -1).mean(axis=(1, 3, 4))
+    mb = mlt.reshape(4, 6, 4, 6, -1).mean(axis=(1, 3, 4))
+    rel = np.abs(mb - rb) / np.maximum(rb, 0.1 * level)
+    assert float(rel.mean()) < 0.35, rel
+
+
 def test_aggregatetest_renderer(tmp_path):
     mismatches = _render(tmp_path, BASE + """
     Renderer "aggregatetest" "integer niters" [2000]

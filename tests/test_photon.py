@@ -128,6 +128,6 @@ def test_shooter_quotas(tmp_path):
     assert maps.caustic is not None and maps.caustic.count > 0
     # caustic photons concentrate under the glass sphere (transmitted
     # light focused downward onto the floor near x,z ~ 0, y ~ -1.5)
-    cpos_y = np.asarray(maps.caustic.py)
+    cpos_y = np.asarray(maps.caustic.pxyz[:, 1])
     on_floor = np.abs(cpos_y + 1.5) < 1e-2
     assert on_floor.mean() > 0.5

