@@ -223,7 +223,10 @@ def _candidate_count(pm, qb) -> jnp.ndarray:
 def _default_cap(k: int) -> int:
     # at least 24/cell: dense-cell truncation is corrected by the
     # inclusion-fraction weight, but a larger cap lowers its variance
-    return max(24, -(-2 * k // 27))
+    # AND tightens the found-set radius for big k (a 2k/27 cap made the
+    # subsampled 300th-nearest radius overshoot in dense caustic cores,
+    # smearing peaks ~2x low there)
+    return max(24, -(-4 * k // 27))
 
 
 def _topk_phase(pm, qb, k: int, max_dist2: float, per_cell_cap: int):

@@ -366,7 +366,12 @@ def build_photon_maps(scene: CompiledScene, surf_params, vol_params,
     caus, ind, volp, direct = [], [], [], []
     rps = []
     shots = 0
-    shots_caus = shots_ind = shots_vol = None
+    shots_caus = shots_ind = shots_vol = shots_dir = None
+    # direct photons have no user quota in the reference (photonshooter
+    # .cpp: directPhotons grows for the whole shoot, used only by the
+    # radiance precompute); give them their own fill target so scenes
+    # with "indirectphotons 0" (scene.pbrt) still get a direct map
+    limit_direct = max(n_indirect, n_caustic, 10000)
     import time as _t
 
     t0 = _t.time()
@@ -396,7 +401,7 @@ def build_photon_maps(scene: CompiledScene, surf_params, vol_params,
         cls = np.asarray(cls).reshape(-1)
         nz = al.sum(-1) > 0
         for want, acc, code in ((n_caustic, caus, 1), (n_indirect, ind, 2),
-                                (n_volume, volp, 4), (n_indirect, direct, 3)):
+                                (n_volume, volp, 4), (limit_direct, direct, 3)):
             m = nz & (cls == code)
             if m.any():
                 acc.append((pos[m], al[m], wi[m]))
@@ -415,21 +420,31 @@ def build_photon_maps(scene: CompiledScene, surf_params, vol_params,
             shots_ind = shots
         if shots_vol is None and nv >= n_volume:
             shots_vol = shots
-        done = (nc >= n_caustic or shots > 500000) and \
-               (ni >= n_indirect or shots > 500000) and \
-               (nv >= n_volume or not has_volume or shots > 500000)
+        if shots_dir is None and sum(len(a[0]) for a in direct) >= limit_direct:
+            shots_dir = shots
+        # a quota is given up ONLY at pathological yield (reference
+        # :285-299: "unsuccessful" = stored < wanted after 500k shots
+        # at <1/1024 yield) — NOT merely because 500k paths were shot:
+        # scene.pbrt's 1M-photon volume quota legitimately takes ~5M
+        # paths at ~20% yield, and capping at 500k under-filled the
+        # map 10x (the round-5 full-quota parity gap)
+        def hopeless(stored):
+            return shots > 500000 and stored < shots // 1024
+
+        done = (nc >= n_caustic or hopeless(nc)) and \
+               (ni >= n_indirect or hopeless(ni)) and \
+               (nv >= n_volume or not has_volume or hopeless(nv))
         progress("Shooting photons", bi + 1 if not done else max_batches,
                  max_batches, t0)
         if done:
-            break
-        # abort heuristic (reference :285-299)
-        if shots > 500000 and (nc + ni + nv) < shots // 1024:
-            warning("unable to store enough photons; aborting shooting")
+            if hopeless(nc) or hopeless(ni) or (has_volume and hopeless(nv)):
+                warning("unable to store enough photons; aborting shooting")
             break
     progress("Shooting photons", 1, 1, t0)
     shots_caus = shots_caus or shots
     shots_ind = shots_ind or shots
     shots_vol = shots_vol or shots
+    shots_dir = shots_dir or shots
 
     def mk(acc, cell, limit, nshot, k):
         if not acc:
@@ -442,7 +457,9 @@ def build_photon_maps(scene: CompiledScene, surf_params, vol_params,
     caustic_m = mk(caus, max_dist, n_caustic, shots_caus, n_used)
     indirect_m = mk(ind, max_dist * 2.0, n_indirect, shots_ind, n_used)
     volume_m = mk(volp, vol_max_dist, max(n_volume, 1), shots_vol, vol_n_used)
-    direct_m = mk(direct, max_dist * 2.0, n_indirect, shots_ind, n_used)
+    # normalized by the shots over which the KEPT direct photons were
+    # collected ([:limit] keeps the earliest batches)
+    direct_m = mk(direct, max_dist * 2.0, limit_direct, shots_dir, n_used)
 
     radiance_m = None
     if final_gather and rps:

@@ -417,7 +417,13 @@ def render_sampler(scene: CompiledScene, ro: RenderOptions, film, camera,
             ids_dev = pmesh.shard_batch(mesh, ids)
         else:
             ids_dev = jnp.asarray(ids)
+        prev_w = w
         xyz, w = render_tile(ids_dev, xyz, w)
+        # double-buffer: bound in-flight tiles to 2 so the progress bar
+        # tracks real device time (unbounded async dispatch "finishes"
+        # every tile instantly and hides a stall until the final fetch)
+        if ti > start_tile:
+            prev_w.block_until_ready()
         probes.count("render/tiles")
         probes.count("render/camera_samples",
                      min(pix_per_tile, n_pix - ti * pix_per_tile) * spp)
