@@ -60,7 +60,7 @@ def lphoton_surface(pm, lobes, frame, p, wo, n_used: int, max_dist2: float):
                           jnp.where(front, 0.0, kern)], axis=-1)  # [B,K,2]
 
     res = knn_weighted_flux(pm, p, n_used, max_dist2, weight,
-                            extras=(frame.ns, sgn))
+                            extras=(frame.ns, sgn), compact=True)
     flux_r, flux_t = res.flux[:, 0], res.flux[:, 1]        # [N, S]
     from pbrt_tpu.materials.bsdf import rho_proxies
 

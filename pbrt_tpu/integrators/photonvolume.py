@@ -71,7 +71,7 @@ def lphoton_volume(pm, p, w, wi_eval_g, n_used: int, max_dist2: float):
         return phase_hg(cos, gq[:, None])
 
     res = knn_weighted_flux(pm, p, n_used, max_dist2, weight,
-                            extras=(w, wi_eval_g))
+                            extras=(w, wi_eval_g), compact=True)
     enough = res.n_found >= 10
     r3 = jnp.power(jnp.maximum(res.r2_found, 1e-12), 1.5)
     vol_inv = 1.0 / ((4.0 / 3.0) * jnp.pi * r3)

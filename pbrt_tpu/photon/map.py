@@ -282,7 +282,9 @@ def _block_map(fn, q, extras, block: int):
 
     def padded(x):
         if pad:
-            x = jnp.concatenate([x, jnp.repeat(x[:1], pad, axis=0)], axis=0)
+            # pad with the LAST element: under occupancy compaction the
+            # tail is the dead partition, so padding keeps it skippable
+            x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
         return x.reshape((nb, block) + x.shape[1:])
 
     xs = (padded(q),) + tuple(padded(e) for e in extras)
@@ -301,7 +303,8 @@ class FluxResult(NamedTuple):
 def knn_weighted_flux(pm: Optional[PhotonMap], q: jnp.ndarray, k: int,
                       max_dist2: float, weight_fn, extras=(),
                       per_cell_cap: int = 0,
-                      block: int = DEFAULT_BLOCK) -> FluxResult:
+                      block: int = DEFAULT_BLOCK,
+                      compact: bool = False) -> FluxResult:
     """Fused kNN density estimate: flux[q] = sum_k w_k * alpha_k.
 
     weight_fn(wix, wiy, wiz, d2, valid, r2_norm, *extras_block) returns
@@ -311,6 +314,14 @@ def knn_weighted_flux(pm: Optional[PhotonMap], q: jnp.ndarray, k: int,
 
     Never materializes a [Q, K, S] tensor: queries run in
     `block`-sized chunks inside a lax.map.
+
+    compact=True partitions queries by neighborhood occupancy before
+    blocking (live first), so the block-level empty skip fires on the
+    whole dead tail instead of only on blocks that HAPPEN to be all-
+    empty. For beam-localized maps (pinkfloyd's prism: most march
+    samples are nowhere near a photon) this turns most blocks into the
+    54-gather probe. Costs one argsort + two permutations of [Q]-sized
+    arrays — noise next to a single live block's top-k.
     """
     if pm is None:
         Q = q.shape[0]
@@ -363,6 +374,16 @@ def knn_weighted_flux(pm: Optional[PhotonMap], q: jnp.ndarray, k: int,
 
         return jax.lax.cond(any_cand, lambda _: live_block(qb, *eb),
                             dead, None)
+
+    if compact and q.shape[0] > block:
+        live = _candidate_count(pm, q) > 0
+        order = jnp.argsort(jnp.where(live, 0, 1), stable=True)
+        inv = jnp.argsort(order)
+        q_s = jnp.take(q, order, axis=0)
+        ex_s = tuple(jnp.take(e, order, axis=0) for e in extras)
+        res = _block_map(one_block, q_s, ex_s, block)
+        return jax.tree_util.tree_map(
+            lambda x: jnp.take(x, inv, axis=0), res)
 
     return _block_map(one_block, q, tuple(extras), block)
 

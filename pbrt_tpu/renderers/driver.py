@@ -121,6 +121,36 @@ def build_li_fn(scene: CompiledScene, ro: RenderOptions, options: dict):
 
         photon_ctx = build_photon_maps(scene, sp, vp, options)
 
+    # The photon maps enter render_tile as jit ARGUMENTS, not closure
+    # constants: the axon remote-compile ships closure constants in the
+    # compile request, and a full 5M-photon pinkfloyd map (~700 MB of
+    # pxyz/alpha_t/wixyz) exceeds the tunnel's request size limit
+    # (HTTP 413). Static fields (dims, count, n_used, ...) stay in the
+    # closed-over ctx; `ctx_box[0]` is rebound to the traced rebuild at
+    # trace time so the li functions below see the argument arrays.
+    _MAP_FIELDS = ("caustic", "indirect", "volume", "direct", "radiance")
+    ctx_box = [photon_ctx]
+
+    def _ctx_heavy_arrays(ctx):
+        out = {}
+        if ctx is None:
+            return out
+        for f in _MAP_FIELDS:
+            m = getattr(ctx, f)
+            if m is None:
+                continue
+            out[f] = {k: v for k, v in m._asdict().items()
+                      if isinstance(v, jnp.ndarray)}
+        return out
+
+    def _ctx_rebind(ctx, arrays):
+        if ctx is None or not arrays:
+            return ctx
+        import dataclasses as _dc
+
+        reps = {f: getattr(ctx, f)._replace(**d) for f, d in arrays.items()}
+        return _dc.replace(ctx, **reps)
+
     vpls = None
     if sname == "igi":
         from pbrt_tpu.integrators.extra import generate_vpls
@@ -171,7 +201,7 @@ def build_li_fn(scene: CompiledScene, ro: RenderOptions, options: dict):
         if sname in ("photonmap", "exphotonmap"):
             from pbrt_tpu.integrators.photonmap import li_photonmap
 
-            return li_photonmap(scene, photon_ctx, ray, pixel, sidx,
+            return li_photonmap(scene, ctx_box[0], ray, pixel, sidx,
                                 max_depth=max_depth, seed=seed,
                                 transmittance_fn=trans_fn)
         if sname == "directlighting":
@@ -255,7 +285,7 @@ def build_li_fn(scene: CompiledScene, ro: RenderOptions, options: dict):
         if vname == "photonvolume":
             from pbrt_tpu.integrators.photonvolume import li_photonvolume
 
-            return li_photonvolume(scene, photon_ctx, ray, t_surf, pixel, sidx,
+            return li_photonvolume(scene, ctx_box[0], ray, t_surf, pixel, sidx,
                                    n_steps, seed)
         if vname != "single":
             warning(f'VolumeIntegrator "{vname}" not yet TPU-lowered; using "single".')
@@ -269,6 +299,12 @@ def build_li_fn(scene: CompiledScene, ro: RenderOptions, options: dict):
         vr = volume_li(ray, hit_t, pixel, sidx, seed)
         return vr.Tr * L_surf + vr.L
 
+    # plumbing for render_sampler: the heavy photon-map arrays must be
+    # jit ARGUMENTS of render_tile (see comment above); rebind_ctx is
+    # called at trace time so surface_li/volume_li read the traced maps
+    li.ctx_heavy = _ctx_heavy_arrays(photon_ctx)
+    li.rebind_ctx = (lambda arrays:
+                     ctx_box.__setitem__(0, _ctx_rebind(photon_ctx, arrays)))
     return li
 
 
@@ -326,8 +362,11 @@ def render_sampler(scene: CompiledScene, ro: RenderOptions, film, camera,
     from pbrt_tpu.core import spectrum as _spec
     import dataclasses as _dc
 
+    ctx_heavy = getattr(li_fn, "ctx_heavy", {})
+
     @jax.jit
-    def render_tile(pix_ids, state_xyz, state_w):
+    def render_tile(pix_ids, state_xyz, state_w, ctx_arrays):
+        li_fn.rebind_ctx(ctx_arrays)
         pix_x = (pix_ids % film.nx) + film.x0
         pix_y = (pix_ids // film.nx) + film.y0
         st = film_mod.FilmState(xyz=state_xyz, weight=state_w,
@@ -418,7 +457,7 @@ def render_sampler(scene: CompiledScene, ro: RenderOptions, film, camera,
         else:
             ids_dev = jnp.asarray(ids)
         prev_w = w
-        xyz, w = render_tile(ids_dev, xyz, w)
+        xyz, w = render_tile(ids_dev, xyz, w, ctx_heavy)
         # double-buffer: bound in-flight tiles to 2 so the progress bar
         # tracks real device time (unbounded async dispatch "finishes"
         # every tile instantly and hides a stall until the final fetch)
